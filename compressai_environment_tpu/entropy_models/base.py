@@ -1,0 +1,110 @@
+"""Shared machinery for entropy models: CDF table state and host coding glue.
+
+The reference keeps quantized CDFs as registered torch buffers mutated by
+``update()`` (``entropy_models.py:126-129``). Here they are an explicit
+immutable pytree (:class:`CdfTables`) produced by each model's ``update``:
+device-friendly (replicable over a mesh with one broadcast), checkpointable
+(plain arrays), and passed to the host coder without per-call list conversion
+(the reference's main encode bottleneck, ``entropy_models.py:258-267``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..entropy import coder
+
+__all__ = ["CdfTables", "compress_symbols", "decompress_symbols"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CdfTables:
+    """Quantized CDF dictionary for one entropy model.
+
+    Attributes:
+        quantized_cdf: (n, max_len) int32; row i is a CDF over
+            ``cdf_length[i]`` entries, zero padded.
+        cdf_length: (n,) int32.
+        offset: (n,) int32 symbol offset per CDF.
+    """
+
+    quantized_cdf: np.ndarray
+    cdf_length: np.ndarray
+    offset: np.ndarray
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "quantized_cdf",
+            np.ascontiguousarray(self.quantized_cdf, dtype=np.int32),
+        )
+        object.__setattr__(
+            self, "cdf_length",
+            np.ascontiguousarray(np.reshape(self.cdf_length, -1), dtype=np.int32),
+        )
+        object.__setattr__(
+            self, "offset",
+            np.ascontiguousarray(np.reshape(self.offset, -1), dtype=np.int32),
+        )
+        if self.quantized_cdf.ndim != 2:
+            raise ValueError(f"Invalid CDF size {self.quantized_cdf.shape}")
+
+    @property
+    def num_cdfs(self) -> int:
+        return self.quantized_cdf.shape[0]
+
+    def validate(self):
+        if self.quantized_cdf.size == 0:
+            raise ValueError("Uninitialized CDFs. Run update() first")
+        if self.cdf_length.size == 0:
+            raise ValueError("Uninitialized CDF lengths. Run update() first")
+        if self.offset.size == 0:
+            raise ValueError("Uninitialized offsets. Run update() first")
+
+
+def compress_symbols(symbols: np.ndarray, indexes: np.ndarray, tables: CdfTables):
+    """Encode per-batch-element symbol planes to a list of byte strings.
+
+    symbols/indexes: (batch, ...) int arrays of identical shape.
+    """
+    tables.validate()
+    symbols = np.asarray(symbols)
+    indexes = np.asarray(indexes)
+    if symbols.ndim < 2:
+        raise ValueError(
+            "Invalid `inputs` size. Expected a tensor with at least 2 dimensions."
+        )
+    if symbols.shape != indexes.shape:
+        raise ValueError("`inputs` and `indexes` should have the same size.")
+    batch = symbols.shape[0]
+    return coder.encode_batch(
+        symbols.reshape(batch, -1),
+        indexes.reshape(batch, -1),
+        tables.quantized_cdf,
+        tables.cdf_length,
+        tables.offset,
+    )
+
+
+def decompress_symbols(strings, indexes: np.ndarray, tables: CdfTables) -> np.ndarray:
+    """Decode byte strings back to symbols shaped like ``indexes``."""
+    tables.validate()
+    if not isinstance(strings, (tuple, list)):
+        raise ValueError("Invalid `strings` parameter type.")
+    indexes = np.asarray(indexes)
+    if indexes.ndim < 2:
+        raise ValueError(
+            "Invalid `indexes` size. Expected a tensor with at least 2 dimensions."
+        )
+    if len(strings) != indexes.shape[0]:
+        raise ValueError("Invalid strings or indexes parameters")
+    batch = indexes.shape[0]
+    out = coder.decode_batch(
+        strings,
+        indexes.reshape(batch, -1),
+        tables.quantized_cdf,
+        tables.cdf_length,
+        tables.offset,
+    )
+    return out.reshape(indexes.shape)

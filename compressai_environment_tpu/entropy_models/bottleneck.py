@@ -1,0 +1,209 @@
+"""EntropyBottleneck: non-parametric factorized prior (Ballé et al. 2018 §6.1).
+
+Re-implementation of the reference ``EntropyBottleneck``
+(``entropy_models.py:328-548``) as a flax module over channel-last tensors.
+The per-channel monotone density MLP (``_logits_cumulative``) is expressed as
+batched matmuls over the channel axis, which XLA maps to a single fused
+einsum; parameter names and shapes match the torch module (``_matrix{i}``,
+``_bias{i}``, ``_factor{i}``, ``quantiles``) so checkpoints import directly.
+
+Codec-side helpers (``build_tables``, ``compress``, ``decompress``) live at
+module scope: they mix jitted device math with the host rANS coder.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.cdf import pmf_to_quantized_cdf_batch
+from ..ops.bound import lower_bound
+from ..ops.quant import quantize as quantize_fn
+from .base import CdfTables, compress_symbols, decompress_symbols
+
+__all__ = ["EntropyBottleneck", "build_tables", "compress", "decompress"]
+
+
+class EntropyBottleneck(nn.Module):
+    channels: int
+    tail_mass: float = 1e-9
+    init_scale: float = 10.0
+    filters: Tuple[int, ...] = (3, 3, 3, 3)
+    likelihood_bound: float = 1e-9
+
+    def setup(self):
+        filters = (1,) + tuple(self.filters) + (1,)
+        scale = self.init_scale ** (1 / (len(self.filters) + 1))
+        c = self.channels
+
+        matrices, biases, factors = [], [], []
+        for i in range(len(self.filters) + 1):
+            init = math.log(math.expm1(1 / scale / filters[i + 1]))
+            matrices.append(
+                self.param(
+                    f"_matrix{i}",
+                    lambda key, shape=None, v=init, s=(c, filters[i + 1], filters[i]):
+                        jnp.full(s, v, jnp.float32),
+                )
+            )
+            biases.append(
+                self.param(
+                    f"_bias{i}",
+                    lambda key, s=(c, filters[i + 1], 1): jax.random.uniform(
+                        key, s, jnp.float32, -0.5, 0.5
+                    ),
+                )
+            )
+            if i < len(self.filters):
+                factors.append(
+                    self.param(
+                        f"_factor{i}",
+                        lambda key, s=(c, filters[i + 1], 1): jnp.zeros(s, jnp.float32),
+                    )
+                )
+        self._matrices = matrices
+        self._biases = biases
+        self._factors = factors
+
+        self.quantiles = self.param(
+            "quantiles",
+            lambda key: jnp.tile(
+                jnp.array([-self.init_scale, 0.0, self.init_scale], jnp.float32),
+                (c, 1, 1),
+            ),
+        )
+
+    # -- density ----------------------------------------------------------
+    def _logits_cumulative(self, inputs, stop_gradient: bool):
+        """inputs: (C, 1, N) -> cumulative logits, same shape
+        (reference ``entropy_models.py:436-455``)."""
+        sg = jax.lax.stop_gradient if stop_gradient else (lambda x: x)
+        logits = inputs
+        for i in range(len(self.filters) + 1):
+            logits = jnp.matmul(
+                jax.nn.softplus(sg(self._matrices[i])), logits,
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits + sg(self._biases[i])
+            if i < len(self.filters):
+                logits = logits + jnp.tanh(sg(self._factors[i])) * jnp.tanh(logits)
+        return logits
+
+    def logits_cumulative(self, inputs, stop_gradient: bool = True):
+        """Public apply-method for table building."""
+        return self._logits_cumulative(inputs, stop_gradient)
+
+    def medians(self):
+        return self.quantiles[:, 0, 1]
+
+    def _likelihood(self, inputs):
+        lower = self._logits_cumulative(inputs - 0.5, stop_gradient=False)
+        upper = self._logits_cumulative(inputs + 0.5, stop_gradient=False)
+        sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
+        return jnp.abs(
+            jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower)
+        )
+
+    def aux_loss(self):
+        """Quantile-fitting loss (reference ``loss()``,
+        ``entropy_models.py:431-434``)."""
+        logits = self._logits_cumulative(self.quantiles, stop_gradient=True)
+        target = math.log(2 / self.tail_mass - 1)
+        tgt = jnp.array([-target, 0.0, target], jnp.float32)
+        return jnp.sum(jnp.abs(logits - tgt))
+
+    def __call__(self, x, training: bool = True, key=None):
+        """x: channel-last (..., C). Returns (x_hat, likelihoods)."""
+        # (..., C) -> (C, 1, N)
+        in_shape = x.shape
+        perm = (x.ndim - 1,) + tuple(range(x.ndim - 1))
+        values = jnp.transpose(x, perm).reshape(self.channels, 1, -1)
+
+        medians = self.quantiles[:, :, 1:2]
+        if training:
+            if key is None:
+                key = self.make_rng("noise")
+            outputs = quantize_fn(values, "noise", key=key)
+        else:
+            outputs = quantize_fn(values, "dequantize", medians)
+
+        likelihood = self._likelihood(outputs)
+        if self.likelihood_bound > 0:
+            likelihood = lower_bound(likelihood, self.likelihood_bound)
+
+        inv_perm = tuple(range(1, x.ndim)) + (0,)
+        back = lambda v: jnp.transpose(
+            v.reshape((self.channels,) + in_shape[:-1]), inv_perm
+        )
+        return back(outputs), back(likelihood)
+
+
+# ---------------------------------------------------------------------------
+# Codec-side helpers (host + device mix; not traced end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def build_tables(module: EntropyBottleneck, params) -> CdfTables:
+    """Sample the learned density into quantized CDF tables
+    (reference ``EntropyBottleneck.update``, ``entropy_models.py:389-429``)."""
+    quantiles = np.asarray(params["quantiles"], np.float32)  # (C, 1, 3)
+    medians = quantiles[:, 0, 1]
+
+    minima = np.clip(np.ceil(medians - quantiles[:, 0, 0]).astype(np.int32), 0, None)
+    maxima = np.clip(np.ceil(quantiles[:, 0, 2] - medians).astype(np.int32), 0, None)
+
+    offset = -minima
+    pmf_start = medians - minima
+    pmf_length = maxima + minima + 1
+    max_length = int(pmf_length.max())
+
+    samples = np.arange(max_length, dtype=np.float32)
+    samples = samples[None, None, :] + pmf_start[:, None, None]  # (C, 1, L)
+
+    def _logits(v):
+        return module.apply(
+            {"params": params}, jnp.asarray(v), True, method=EntropyBottleneck.logits_cumulative
+        )
+
+    lower = np.asarray(_logits(samples - 0.5), np.float32)
+    upper = np.asarray(_logits(samples + 0.5), np.float32)
+    sign = -np.sign(lower + upper)
+    pmf = np.abs(_sigmoid(sign * upper) - _sigmoid(sign * lower))[:, 0, :]
+    tail_mass = _sigmoid(lower[:, 0, :1]) + _sigmoid(-upper[:, 0, -1:])
+
+    quantized_cdf = pmf_to_quantized_cdf_batch(pmf, tail_mass, pmf_length, max_length)
+    return CdfTables(quantized_cdf, pmf_length + 2, offset)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _spatial_indexes(shape, channels) -> np.ndarray:
+    """Channel-id index plane broadcast over batch/space; channel-last
+    (reference ``_build_indexes``, ``entropy_models.py:518-529``)."""
+    idx = np.arange(channels, dtype=np.int32)
+    return np.broadcast_to(idx, shape)
+
+
+def compress(x: np.ndarray, medians: np.ndarray, tables: CdfTables):
+    """x: (B, ..., C) latent; medians: (C,). Returns list of strings."""
+    x = np.asarray(x)
+    c = x.shape[-1]
+    symbols = np.round(x - medians.reshape(-1)).astype(np.int32)
+    indexes = _spatial_indexes(x.shape, c)
+    return compress_symbols(symbols, indexes, tables)
+
+
+def decompress(strings, spatial_shape, medians: np.ndarray, tables: CdfTables):
+    """Inverse of :func:`compress`; returns (B, *spatial_shape, C) float32."""
+    c = tables.num_cdfs
+    out_shape = (len(strings),) + tuple(spatial_shape) + (c,)
+    indexes = _spatial_indexes(out_shape, c)
+    symbols = decompress_symbols(strings, indexes, tables)
+    return symbols.astype(np.float32) + np.asarray(medians, np.float32).reshape(-1)

@@ -7,12 +7,31 @@ multi-chip path). Must be set before JAX initializes its backends.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the remote TPU
+# tunnel, which must not be touched by unit tests (single chip, slow first
+# compile, and deadlocks when mixed with torch oracles).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# Full f32 matmul/conv precision: symbol-level parity checks need it.
+jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: XLA CPU compiles are slow on small machines.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+try:  # torch oracles: a single thread avoids OpenMP/XLA threadpool deadlocks
+    import torch  # noqa: E402
+
+    torch.set_num_threads(1)
+except ImportError:  # pragma: no cover
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
