@@ -1,0 +1,235 @@
+"""Raw (YUV/RGB) video file access via numpy memmap.
+
+Behavioral re-implementation of reference ``datasets/rawvideo.py``: planar
+frame dtypes per chroma subsampling, bitdepth-to-dtype mapping, and
+Vooya/GStreamer/ffmpeg filename metadata deduction
+(``youNameIt_WIDTHxHEIGHT[_FPS[Hz|fps]][_BITSbit][_P420|...].yuv``).
+"""
+
+from __future__ import annotations
+
+import enum
+import re
+from fractions import Fraction
+from typing import Any, Dict, Optional, Sequence, Union
+
+import numpy as np
+
+__all__ = [
+    "VideoFormat",
+    "RawVideoSequence",
+    "get_raw_video_file_info",
+    "video_formats",
+    "subsampling",
+    "bitdepth_to_dtype",
+]
+
+
+class VideoFormat(enum.Enum):
+    YUV400 = "yuv400"  # planar 4:0:0 YUV
+    YUV420 = "yuv420"  # planar 4:2:0 YUV
+    YUV422 = "yuv422"  # planar 4:2:2 YUV
+    YUV444 = "yuv444"  # planar 4:4:4 YUV
+    RGB = "rgb"  # planar 4:4:4 RGB
+
+
+# "fourcc" spellings from Vooya, GStreamer, and ffmpeg.
+video_formats = {
+    "yuv400": VideoFormat.YUV400,
+    "yuv420": VideoFormat.YUV420,
+    "420": VideoFormat.YUV420,
+    "p420": VideoFormat.YUV420,
+    "i420": VideoFormat.YUV420,
+    "yuv422": VideoFormat.YUV422,
+    "p422": VideoFormat.YUV422,
+    "i422": VideoFormat.YUV422,
+    "y42B": VideoFormat.YUV422,
+    "yuv444": VideoFormat.YUV444,
+    "p444": VideoFormat.YUV444,
+    "y444": VideoFormat.YUV444,
+}
+
+framerate_to_fraction = {
+    "23.98": Fraction(24000, 1001),
+    "23.976": Fraction(24000, 1001),
+    "29.97": Fraction(30000, 1001),
+    "59.94": Fraction(60000, 1001),
+}
+
+file_extensions = {"yuv", "rgb", "raw"}
+
+# (horizontal, vertical) chroma subsampling divisors
+subsampling = {
+    VideoFormat.YUV400: (0, 0),
+    VideoFormat.YUV420: (2, 2),
+    VideoFormat.YUV422: (2, 1),
+    VideoFormat.YUV444: (1, 1),
+}
+
+bitdepth_to_dtype = {
+    8: np.uint8,
+    10: np.uint16,
+    12: np.uint16,
+    14: np.uint16,
+    16: np.uint16,
+}
+
+
+def make_dtype(format: VideoFormat, value_type, width: int, height: int) -> np.dtype:
+    """Structured per-frame dtype with planar y/u/v fields (sub-plane sizes
+    rounded like ffmpeg for odd dimensions)."""
+    w_sub, h_sub = subsampling[format]
+    if h_sub > 1:
+        sub_height = (height + 1) // h_sub
+    elif h_sub:
+        sub_height = round(height / h_sub)
+    else:
+        sub_height = 0
+    if w_sub > 1:
+        sub_width = (width + 1) // w_sub
+    elif w_sub:
+        sub_width = round(width / w_sub)
+    else:
+        sub_width = 0
+
+    return np.dtype(
+        [
+            ("y", value_type, (height, width)),
+            ("u", value_type, (sub_height, sub_width)),
+            ("v", value_type, (sub_height, sub_width)),
+        ]
+    )
+
+
+def get_raw_video_file_info(filename: str) -> Dict[str, Any]:
+    """Deduce size/framerate/bitdepth/format from a Vooya-style filename."""
+    size_pattern = r"(?P<width>\d+)x(?P<height>\d+)"
+    framerate_pattern = r"(?P<framerate>[\d\.]+)(?:Hz|fps)"
+    bitdepth_pattern = r"(?P<bitdepth>\d+)bit"
+    formats = "|".join(video_formats.keys())
+    # endianness accepts both GStreamer (10LE) and ffmpeg (10le) spellings
+    format_pattern = (
+        rf"(?P<format>{formats})(?:[p_]?(?P<bitdepth2>\d+)(?P<endianness>LE|BE|le|be))?"
+    )
+    extension_pattern = rf"(?P<extension>{'|'.join(file_extensions)})"
+    cut_pattern = "([0-9]+)-([0-9]+)"
+
+    info: Dict[str, Any] = {}
+    for pattern in (
+        size_pattern,
+        framerate_pattern,
+        bitdepth_pattern,
+        format_pattern,
+        cut_pattern,
+        extension_pattern,
+    ):
+        match = re.search(pattern, filename)
+        if match:
+            info.update(match.groupdict())
+
+    if not info:
+        return {}
+
+    if info.get("bitdepth") and info.get("bitdepth2") and info["bitdepth"] != info["bitdepth2"]:
+        raise ValueError(f'Filename "{filename}" specifies bit-depth twice.')
+    if info.get("bitdepth2"):
+        info["bitdepth"] = info["bitdepth2"]
+    info.pop("bitdepth2", None)
+
+    out: Dict[str, Any] = dict(info)
+    if info.get("format") is not None:
+        out["format"] = video_formats.get(info["format"].lower(), info["format"])
+    if info.get("endianness") is not None:
+        out["endianness"] = info["endianness"].lower()
+    if info.get("framerate") is not None:
+        fr = info["framerate"]
+        out["framerate"] = framerate_to_fraction.get(fr, Fraction(fr))
+    for key in ("width", "height", "bitdepth"):
+        if info.get(key) is not None:
+            out[key] = int(info[key])
+    return out
+
+
+def get_num_frms(file_size, width, height, video_format, dtype) -> int:
+    w_sub, h_sub = subsampling[video_format]
+    itemsize = np.dtype(dtype).itemsize
+    frame_size = (width * height) + 2 * (
+        round(width / w_sub) * round(height / h_sub)
+    ) * itemsize
+    return file_size // frame_size
+
+
+class RawVideoSequence(Sequence[np.ndarray]):
+    """Memmap-backed raw video with planar frame access.
+
+    ``seq[i]`` yields a structured array with ``y``/``u``/``v`` fields.
+    """
+
+    def __init__(
+        self,
+        mmap: np.memmap,
+        width: int,
+        height: int,
+        bitdepth: int,
+        format: Union[str, VideoFormat],
+        framerate=None,
+    ):
+        self.width = width
+        self.height = height
+        self.bitdepth = bitdepth
+        self.framerate = framerate
+        self.format = (
+            video_formats[format.lower()] if isinstance(format, str) else format
+        )
+
+        value_type = bitdepth_to_dtype[bitdepth]
+        self.dtype = make_dtype(self.format, value_type, width, height)
+        self.data = mmap.view(self.dtype)
+        self.total_frms = get_num_frms(
+            mmap.size, width, height, self.format, value_type
+        )
+
+    @classmethod
+    def new_like(cls, sequence: "RawVideoSequence", filename: str) -> "RawVideoSequence":
+        mmap = np.memmap(filename, dtype=bitdepth_to_dtype[sequence.bitdepth], mode="r")
+        return cls(
+            mmap,
+            width=sequence.width,
+            height=sequence.height,
+            bitdepth=sequence.bitdepth,
+            format=sequence.format,
+            framerate=sequence.framerate,
+        )
+
+    @classmethod
+    def from_file(
+        cls,
+        filename: str,
+        width: Optional[int] = None,
+        height: Optional[int] = None,
+        bitdepth: Optional[int] = None,
+        format: Optional[VideoFormat] = None,
+        framerate=None,
+    ) -> "RawVideoSequence":
+        info = get_raw_video_file_info(filename)
+        bitdepth = bitdepth or info.get("bitdepth")
+        format = format or info.get("format")
+        height = height or info.get("height")
+        width = width or info.get("width")
+        framerate = framerate or info.get("framerate")
+        if width is None or height is None or bitdepth is None or format is None:
+            raise RuntimeError(f"Could not get sequence information {filename}")
+        mmap = np.memmap(filename, dtype=bitdepth_to_dtype[bitdepth], mode="r")
+        return cls(
+            mmap, width=width, height=height, bitdepth=bitdepth,
+            format=format, framerate=framerate,
+        )
+
+    def __getitem__(self, index):
+        return self.data[index]
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def close(self):
+        del self.data

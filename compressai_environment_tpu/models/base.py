@@ -1,0 +1,96 @@
+"""Stateful codec wrapper over the functional flax cores.
+
+The reference exposes codecs as stateful ``nn.Module`` objects with
+``forward / compress / decompress / update / aux_loss / from_state_dict``
+(``models/google.py:56-116``). Here the same surface wraps:
+
+* a flax module (pure network definition),
+* a params pytree,
+* :class:`~..entropy_models.base.CdfTables` per entropy model, built by
+  ``update()`` (host numpy, replicable over a device mesh),
+* a cache of jitted device functions keyed by name.
+
+Training code bypasses the wrapper and uses the flax module directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["CompressionModel"]
+
+
+class CompressionModel:
+    """Base class; subclasses set ``net`` (flax module) and implement the
+    codec paths."""
+
+    def __init__(self, net, params=None):
+        self.net = net
+        self.params = params
+        self.tables: Dict[str, Any] = {}
+        self._jit_cache: Dict[str, Any] = {}
+
+    # -- lifecycle ---------------------------------------------------------
+    def init(self, key=None, input_shape=(1, 256, 256, 3)):
+        """Initialize parameters with random weights."""
+        if key is None:
+            key = jax.random.key(0)
+        x = jnp.zeros(input_shape, jnp.float32)
+        variables = self.net.init({"params": key, "noise": jax.random.key(1)}, x)
+        self.params = variables["params"]
+        return self
+
+    def _apply(self, method, *args, **kwargs):
+        return self.net.apply({"params": self.params}, *args, method=method, **kwargs)
+
+    def _jitted(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    # -- reference-surface API --------------------------------------------
+    def forward(self, x, training: bool = False, key=None):
+        """Training/eval forward: returns {"x_hat", "likelihoods": {...}}."""
+        rngs = {"noise": key if key is not None else jax.random.key(0)}
+        return self.net.apply(
+            {"params": self.params}, jnp.asarray(x), training, rngs=rngs
+        )
+
+    def __call__(self, x, training: bool = False, key=None):
+        return self.forward(x, training, key)
+
+    def aux_loss(self):
+        """Aggregated EntropyBottleneck quantile losses
+        (reference ``models/google.py:75-82``)."""
+        raise NotImplementedError
+
+    def update(self, force: bool = False) -> bool:
+        """Build/refresh the quantized CDF tables."""
+        raise NotImplementedError
+
+    def compress(self, x) -> dict:
+        raise NotImplementedError
+
+    def decompress(self, strings, shape) -> dict:
+        raise NotImplementedError
+
+    # -- convenience -------------------------------------------------------
+    @property
+    def downsampling_factor(self) -> int:
+        return 2**4
+
+    def _require_tables(self, *names):
+        for n in names:
+            if n not in self.tables:
+                raise ValueError("Uninitialized CDFs. Run update() first")
+
+    @staticmethod
+    def _nhwc(x) -> jnp.ndarray:
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim != 4:
+            raise ValueError("expected (B, H, W, C) input")
+        return x

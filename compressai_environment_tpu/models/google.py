@@ -1,0 +1,300 @@
+"""Google-family image codecs: bmshj2018 factorized/hyperprior and
+mbt2018-mean (reference ``models/google.py``), TPU-native.
+
+Each codec = a flax net (pure, jittable: training forward + transform
+methods) + a wrapper class with the reference's stateful surface. Device work
+(transforms, index building) is jitted per shape; symbol coding runs through
+the batched C++ rANS host coder.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy_models import EntropyBottleneck, GaussianConditional
+from ..entropy_models import bottleneck as eb_ops
+from ..entropy_models import gaussian as gc_ops
+from ..entropy_models.gaussian import build_indexes, get_scale_table
+from .base import CompressionModel
+from .transforms import (
+    AnalysisTransform,
+    HyperAnalysisAbs,
+    HyperAnalysisMS,
+    HyperSynthesisMS,
+    HyperSynthesisScale,
+    SynthesisTransform,
+)
+
+__all__ = [
+    "FactorizedPrior",
+    "ScaleHyperprior",
+    "MeanScaleHyperprior",
+    "get_scale_table",
+]
+
+
+# ---------------------------------------------------------------------------
+# FactorizedPrior (bmshj2018-factorized) — reference models/google.py:119-191
+# ---------------------------------------------------------------------------
+
+
+class FactorizedPriorNet(nn.Module):
+    N: int
+    M: int
+
+    def setup(self):
+        self.g_a = AnalysisTransform(self.N, self.M)
+        self.g_s = SynthesisTransform(self.N)
+        self.entropy_bottleneck = EntropyBottleneck(self.M)
+
+    def __call__(self, x, training: bool = True):
+        y = self.g_a(x)
+        y_hat, y_likelihoods = self.entropy_bottleneck(y, training)
+        x_hat = self.g_s(y_hat)
+        return {"x_hat": x_hat, "likelihoods": {"y": y_likelihoods}}
+
+    def encode(self, x):
+        return self.g_a(x)
+
+    def decode(self, y_hat):
+        return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
+
+    def eb_medians(self):
+        return self.entropy_bottleneck.medians()
+
+    def eb_aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+class FactorizedPrior(CompressionModel):
+    def __init__(self, N, M, params=None):
+        super().__init__(FactorizedPriorNet(N, M), params)
+        self.N, self.M = int(N), int(M)
+
+    @property
+    def downsampling_factor(self) -> int:
+        return 2**4
+
+    def aux_loss(self):
+        return self._apply(FactorizedPriorNet.eb_aux_loss)
+
+    def update(self, force: bool = False) -> bool:
+        if "y" in self.tables and not force:
+            return False
+        self.tables["y"] = eb_ops.build_tables(
+            EntropyBottleneck(self.M), self.params["entropy_bottleneck"]
+        )
+        return True
+
+    def _medians(self) -> np.ndarray:
+        return np.asarray(self.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
+
+    def compress(self, x):
+        self._require_tables("y")
+        x = self._nhwc(x)
+        encode = self._jitted(
+            "encode", lambda p, v: self.net.apply(p, v, method=FactorizedPriorNet.encode)
+        )
+        y = np.asarray(encode({"params": self.params}, x))
+        y_strings = eb_ops.compress(y, self._medians(), self.tables["y"])
+        return {"strings": [y_strings], "shape": y.shape[1:3]}
+
+    def decompress(self, strings, shape):
+        assert isinstance(strings, list) and len(strings) == 1
+        self._require_tables("y")
+        y_hat = eb_ops.decompress(
+            strings[0], tuple(shape), self._medians(), self.tables["y"]
+        )
+        decode = self._jitted(
+            "decode", lambda p, v: self.net.apply(p, v, method=FactorizedPriorNet.decode)
+        )
+        x_hat = decode({"params": self.params}, jnp.asarray(y_hat))
+        return {"x_hat": x_hat}
+
+
+# ---------------------------------------------------------------------------
+# ScaleHyperprior (bmshj2018-hyperprior) — reference models/google.py:204-321
+# ---------------------------------------------------------------------------
+
+
+class ScaleHyperpriorNet(nn.Module):
+    N: int
+    M: int
+
+    def setup(self):
+        self.g_a = AnalysisTransform(self.N, self.M)
+        self.g_s = SynthesisTransform(self.N)
+        self.h_a = HyperAnalysisAbs(self.N)
+        self.h_s = HyperSynthesisScale(self.N, self.M)
+        self.entropy_bottleneck = EntropyBottleneck(self.N)
+        self.gaussian_conditional = GaussianConditional()
+
+    def __call__(self, x, training: bool = True):
+        y = self.g_a(x)
+        z = self.h_a(jnp.abs(y))
+        z_hat, z_likelihoods = self.entropy_bottleneck(z, training)
+        scales_hat = self.h_s(z_hat)
+        y_hat, y_likelihoods = self.gaussian_conditional(y, scales_hat, None, training)
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
+
+    def encode(self, x):
+        y = self.g_a(x)
+        z = self.h_a(jnp.abs(y))
+        return y, z
+
+    def hyper_decode(self, z_hat):
+        return self.h_s(z_hat)
+
+    def decode(self, y_hat):
+        return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
+
+    def eb_medians(self):
+        return self.entropy_bottleneck.medians()
+
+    def eb_aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+class ScaleHyperprior(CompressionModel):
+    net_cls = ScaleHyperpriorNet
+    uses_means = False
+
+    def __init__(self, N, M, params=None):
+        super().__init__(self.net_cls(N, M), params)
+        self.N, self.M = int(N), int(M)
+        self.scale_table = None
+
+    @property
+    def downsampling_factor(self) -> int:
+        return 2 ** (4 + 2)
+
+    def aux_loss(self):
+        return self._apply(self.net_cls.eb_aux_loss)
+
+    def _eb_channels(self) -> int:
+        return self.N
+
+    def _medians(self) -> np.ndarray:
+        return np.asarray(self.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
+
+    def update(self, scale_table=None, force: bool = False) -> bool:
+        updated = False
+        if "y" not in self.tables or force or scale_table is not None:
+            if scale_table is None:
+                scale_table = get_scale_table()
+            self.scale_table = np.asarray(scale_table, np.float32)
+            self.tables["y"] = gc_ops.build_tables(self.scale_table)
+            updated = True
+        if "z" not in self.tables or force:
+            self.tables["z"] = eb_ops.build_tables(
+                EntropyBottleneck(self._eb_channels()),
+                self.params["entropy_bottleneck"],
+            )
+            updated = True
+        return updated
+
+    # -- codec paths -------------------------------------------------------
+    def compress(self, x):
+        self._require_tables("y", "z")
+        x = self._nhwc(x)
+        encode = self._jitted(
+            "encode", lambda p, v: self.net.apply(p, v, method=self.net_cls.encode)
+        )
+        y, z = encode({"params": self.params}, x)
+        y, z = np.asarray(y), np.asarray(z)
+
+        z_strings = eb_ops.compress(z, self._medians(), self.tables["z"])
+        # encoder decodes its own z so both sides derive identical scales
+        # (reference models/google.py:306-309)
+        z_hat = eb_ops.decompress(
+            z_strings, z.shape[1:3], self._medians(), self.tables["z"]
+        )
+
+        params_dev = {"params": self.params}
+        hyper = self._jitted(
+            "hyper_decode",
+            lambda p, v: self.net.apply(p, v, method=self.net_cls.hyper_decode),
+        )
+        out = hyper(params_dev, jnp.asarray(z_hat))
+        indexes, means = self._indexes_and_means(out)
+
+        y_strings = gc_ops.compress(y, np.asarray(indexes), self.tables["y"], means)
+        return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
+
+    def decompress(self, strings, shape):
+        assert isinstance(strings, list) and len(strings) == 2
+        self._require_tables("y", "z")
+        z_hat = eb_ops.decompress(
+            strings[1], tuple(shape), self._medians(), self.tables["z"]
+        )
+        hyper = self._jitted(
+            "hyper_decode",
+            lambda p, v: self.net.apply(p, v, method=self.net_cls.hyper_decode),
+        )
+        out = hyper({"params": self.params}, jnp.asarray(z_hat))
+        indexes, means = self._indexes_and_means(out)
+        y_hat = gc_ops.decompress(
+            strings[0], np.asarray(indexes), self.tables["y"], means
+        )
+        decode = self._jitted(
+            "decode", lambda p, v: self.net.apply(p, v, method=self.net_cls.decode)
+        )
+        x_hat = decode({"params": self.params}, jnp.asarray(y_hat))
+        return {"x_hat": x_hat}
+
+    def _indexes_and_means(self, hyper_out):
+        """ScaleHyperprior: h_s output is scales only."""
+        indexes = build_indexes(hyper_out, jnp.asarray(self.scale_table))
+        return indexes, None
+
+
+# ---------------------------------------------------------------------------
+# MeanScaleHyperprior (mbt2018-mean) — reference models/google.py:324-392
+# ---------------------------------------------------------------------------
+
+
+class MeanScaleHyperpriorNet(ScaleHyperpriorNet):
+    def setup(self):
+        self.g_a = AnalysisTransform(self.N, self.M)
+        self.g_s = SynthesisTransform(self.N)
+        self.h_a = HyperAnalysisMS(self.N)
+        self.h_s = HyperSynthesisMS(self.N, self.M)
+        self.entropy_bottleneck = EntropyBottleneck(self.N)
+        self.gaussian_conditional = GaussianConditional()
+
+    def __call__(self, x, training: bool = True):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_hat, z_likelihoods = self.entropy_bottleneck(z, training)
+        gaussian_params = self.h_s(z_hat)
+        scales_hat, means_hat = jnp.split(gaussian_params, 2, axis=-1)
+        y_hat, y_likelihoods = self.gaussian_conditional(
+            y, scales_hat, means_hat, training
+        )
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
+
+    def encode(self, x):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        return y, z
+
+
+class MeanScaleHyperprior(ScaleHyperprior):
+    net_cls = MeanScaleHyperpriorNet
+    uses_means = True
+
+    def _indexes_and_means(self, hyper_out):
+        scales_hat, means_hat = jnp.split(hyper_out, 2, axis=-1)
+        indexes = build_indexes(scales_hat, jnp.asarray(self.scale_table))
+        return indexes, np.asarray(means_hat)

@@ -1,0 +1,40 @@
+from .image import (
+    bmshj2018_factorized,
+    bmshj2018_hyperprior,
+    cfgs,
+    cheng2020_anchor,
+    cheng2020_attn,
+    mbt2018,
+    mbt2018_mean,
+    model_architectures,
+)
+from .torch_import import load_pretrained, load_state_dict, rename_key
+
+image_models = {
+    "bmshj2018-factorized": bmshj2018_factorized,
+    "bmshj2018-hyperprior": bmshj2018_hyperprior,
+    "mbt2018-mean": mbt2018_mean,
+    "mbt2018": mbt2018,
+    "cheng2020-anchor": cheng2020_anchor,
+    "cheng2020-attn": cheng2020_attn,
+}
+
+video_models = {}
+models = {**image_models}
+
+__all__ = [
+    "bmshj2018_factorized",
+    "bmshj2018_hyperprior",
+    "mbt2018",
+    "mbt2018_mean",
+    "cheng2020_anchor",
+    "cheng2020_attn",
+    "image_models",
+    "video_models",
+    "models",
+    "cfgs",
+    "model_architectures",
+    "load_pretrained",
+    "load_state_dict",
+    "rename_key",
+]
