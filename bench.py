@@ -1,0 +1,76 @@
+"""Driver benchmark: end-to-end encode+decode throughput on TPU.
+
+Measures the full bmshj2018-factorized pipeline (g_a on TPU -> rANS encode on
+host -> rANS decode on host -> g_s on TPU) over a Kodak-sized batch
+(24 x 768x512 RGB) and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+
+Baseline: the reference CompressAI bmshj2018-factorized CPU pipeline at
+~0.74 MB/s aggregate enc+dec (BASELINE.md: ~0.7 s encode + ~0.9 s decode per
+768x512 image, 1.18 MB/image).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MBPS = 1.18 / 1.6  # reference enc+dec MB/s per image slot
+
+
+def main():
+    import jax
+
+    from compressai_environment_tpu.models import FactorizedPrior
+
+    n_images, h, w = 24, 512, 768
+    model = FactorizedPrior(128, 192).init(
+        key=jax.random.key(0), input_shape=(1, h, w, 3)
+    )
+    model.update(force=True)
+
+    rng = np.random.default_rng(0)
+    # smooth, image-like content: random low-frequency fields
+    base = rng.random((n_images, h // 16, w // 16, 3), dtype=np.float32)
+    x = np.clip(
+        np.stack([np.kron(b, np.ones((16, 16, 1), np.float32)) for b in base]), 0, 1
+    )
+
+    # warmup (compile)
+    c = model.compress(x[:2])
+    model.decompress(c["strings"], c["shape"])
+
+    t0 = time.perf_counter()
+    c = model.compress(x)
+    t1 = time.perf_counter()
+    out = model.decompress(c["strings"], c["shape"])
+    np.asarray(out["x_hat"])
+    t2 = time.perf_counter()
+
+    total_mb = n_images * h * w * 3 / 1e6
+    enc_t, dec_t = t1 - t0, t2 - t1
+    mbps = total_mb / (enc_t + dec_t)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bmshj2018-factorized enc+dec throughput (Kodak-size x24, 1 chip)",
+                "value": round(mbps, 3),
+                "unit": "MB/s",
+                "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+                "detail": {
+                    "encode_s": round(enc_t, 3),
+                    "decode_s": round(dec_t, 3),
+                    "total_MB": round(total_mb, 2),
+                    "mean_bpp": round(
+                        sum(len(s) for s in c["strings"][0]) * 8 / (n_images * h * w), 4
+                    ),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

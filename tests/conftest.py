@@ -8,9 +8,11 @@ multi-chip path). Must be set before JAX initializes its backends.
 import os
 
 # Force CPU: the ambient environment pins JAX_PLATFORMS to the remote TPU
-# tunnel, which must not be touched by unit tests (single chip, slow first
-# compile, and deadlocks when mixed with torch oracles).
+# tunnel (and an axon sitecustomize re-registers it in every process), which
+# must not be touched by unit tests. The env var alone is overridden by the
+# plugin, so also force the platform through jax.config below.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Full f32 matmul/conv precision: symbol-level parity checks need it.
 jax.config.update("jax_default_matmul_precision", "float32")
