@@ -78,6 +78,9 @@ _max_quality = {
 }
 
 
+_TORCH_SUFFIXES = (".pth", ".tar", ".pt")
+
+
 def _load_checkpoint_file(path):
     import torch
 
@@ -87,6 +90,52 @@ def _load_checkpoint_file(path):
             ckpt = ckpt[key]
             break
     return ckpt
+
+
+def _infer_dims_torch(architecture, state_dict):
+    """Channel dims from a torch state dict (reference ``from_state_dict``:
+    ``models/google.py:173-180``, ``models/waseda.py:105-110``)."""
+    if architecture.startswith("cheng2020"):
+        return (int(state_dict["g_a.0.conv1.weight"].shape[0]),)
+    return (
+        int(state_dict["g_a.0.weight"].shape[0]),
+        int(state_dict["g_a.6.weight"].shape[0]),
+    )
+
+
+def _infer_dims_native(architecture, params):
+    """Channel dims from a flax params tree."""
+    if architecture.startswith("cheng2020"):
+        return (int(params["g_a"]["0"]["conv1"]["kernel"].shape[-1]),)
+    return (
+        int(params["g_a"]["0"]["kernel"].shape[-1]),
+        int(params["g_a"]["6"]["kernel"].shape[-1]),
+    )
+
+
+def _from_torch_checkpoint(architecture, path):
+    state_dict = load_pretrained(
+        {k: v for k, v in _load_checkpoint_file(path).items()}
+    )
+    dims = _infer_dims_torch(architecture, state_dict)
+    model = model_architectures[architecture](*dims)
+    model.init()
+    load_state_dict(model, state_dict)
+    return model
+
+
+def _from_native_checkpoint(architecture, path):
+    from ..utils.checkpoint import load_checkpoint
+
+    params, tables, scale_table, meta = load_checkpoint(path)
+    architecture = meta.get("architecture") or architecture
+    dims = _infer_dims_native(architecture, params)
+    model = model_architectures[architecture](*dims)
+    model.params = params
+    model.tables = tables
+    if scale_table is not None:
+        model.scale_table = scale_table
+    return model
 
 
 def _load_model(
@@ -103,26 +152,26 @@ def _load_model(
     if quality not in cfgs[architecture]:
         raise ValueError(f'Invalid quality value "{quality}"')
 
-    model = model_architectures[architecture](*cfgs[architecture][quality], **kwargs)
-
     if checkpoint_path is not None:
-        state_dict = _load_checkpoint_file(checkpoint_path)
-        load_state_dict(model, state_dict)
-        return model
+        from pathlib import Path
+
+        if Path(checkpoint_path).suffix in _TORCH_SUFFIXES:
+            return _from_torch_checkpoint(architecture, checkpoint_path)
+        return _from_native_checkpoint(architecture, checkpoint_path)
 
     if pretrained:
         from torch.hub import load_state_dict_from_url
 
-        url = (
-            f"{root_url}/{architecture}-{quality}-{metric}.pth.tar"
-            if metric == "mse"
-            else f"{root_url}/{architecture}-{quality}-{metric}.pth.tar"
-        )
+        url = f"{root_url}/{architecture}-{quality}-{metric}.pth.tar"
         state_dict = load_state_dict_from_url(url, progress=progress)
         state_dict = load_pretrained(state_dict)
+        dims = _infer_dims_torch(architecture, state_dict)
+        model = model_architectures[architecture](*dims)
+        model.init()
         load_state_dict(model, state_dict)
         return model
 
+    model = model_architectures[architecture](*cfgs[architecture][quality], **kwargs)
     model.init()
     return model
 
