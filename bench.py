@@ -37,8 +37,8 @@ def main():
         np.stack([np.kron(b, np.ones((16, 16, 1), np.float32)) for b in base]), 0, 1
     )
 
-    # warmup (compile)
-    c = model.compress(x[:2])
+    # warmup (compile at the exact benchmark shapes)
+    c = model.compress(x)
     model.decompress(c["strings"], c["shape"])
 
     t0 = time.perf_counter()

@@ -1,0 +1,558 @@
+"""ScaleSpaceFlow (ssf2020) video codec
+(reference ``compressai/models/video/google.py:55-508``), TPU-native.
+
+Three codec branches (keyframe image / motion / residual), each a
+mean+scale hyperprior with STE latent quantization. Inter-frame prediction
+warps a Gaussian scale-space volume of the reference frame by a decoded
+(flow, scale) field via trilinear sampling — implemented here as a jittable
+``grid_sample_3d`` (torch align_corners=False semantics, border padding).
+
+The GOP recursion is a Python loop over per-frame jitted steps: frames are
+strictly sequential (x_ref feedback); parallelism comes from batching GOPs,
+not frames (SURVEY §5.7c).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...entropy_models import EntropyBottleneck, GaussianConditional
+from ...entropy_models import bottleneck as eb_ops
+from ...entropy_models import gaussian as gc_ops
+from ...entropy_models.gaussian import build_indexes, get_scale_table
+from ...layers import Conv, Deconv, qrelu
+from ...ops.quant import ste_round
+from ..base import CompressionModel
+
+__all__ = ["ScaleSpaceFlow", "gaussian_volume", "grid_sample_3d"]
+
+
+class _Encoder(nn.Module):
+    mid_planes: int = 128
+    out_planes: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.mid_planes, 5, 2, name="0")(x)
+        x = jax.nn.relu(x)
+        x = Conv(self.mid_planes, 5, 2, name="2")(x)
+        x = jax.nn.relu(x)
+        x = Conv(self.mid_planes, 5, 2, name="4")(x)
+        x = jax.nn.relu(x)
+        return Conv(self.out_planes, 5, 2, name="6")(x)
+
+
+class _Decoder(nn.Module):
+    out_planes: int
+    mid_planes: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        x = Deconv(self.mid_planes, 5, 2, name="0")(x)
+        x = jax.nn.relu(x)
+        x = Deconv(self.mid_planes, 5, 2, name="2")(x)
+        x = jax.nn.relu(x)
+        x = Deconv(self.mid_planes, 5, 2, name="4")(x)
+        x = jax.nn.relu(x)
+        return Deconv(self.out_planes, 5, 2, name="6")(x)
+
+
+class _HyperEncoder(nn.Module):
+    mid_planes: int = 192
+    out_planes: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.mid_planes, 5, 2, name="0")(x)
+        x = jax.nn.relu(x)
+        x = Conv(self.mid_planes, 5, 2, name="2")(x)
+        x = jax.nn.relu(x)
+        return Conv(self.mid_planes, 5, 2, name="4")(x)
+
+
+class _HyperDecoder(nn.Module):
+    mid_planes: int = 192
+    out_planes: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        x = Deconv(self.mid_planes, 5, 2, name="0")(x)
+        x = jax.nn.relu(x)
+        x = Deconv(self.mid_planes, 5, 2, name="2")(x)
+        x = jax.nn.relu(x)
+        return Deconv(self.out_planes, 5, 2, name="4")(x)
+
+
+class _HyperDecoderWithQReLU(nn.Module):
+    mid_planes: int = 192
+    out_planes: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        x = qrelu(Deconv(self.mid_planes, 5, 2, name="deconv1")(x), 8, 100)
+        x = qrelu(Deconv(self.mid_planes, 5, 2, name="deconv2")(x), 8, 100)
+        x = qrelu(Deconv(self.out_planes, 5, 2, name="deconv3")(x), 8, 100)
+        return x
+
+
+class _Hyperprior(nn.Module):
+    """Mean/scale hyperprior with STE latent quantization
+    (reference ``Hyperprior``, ``models/video/google.py:150-196``)."""
+
+    planes: int = 192
+    mid_planes: int = 192
+
+    def setup(self):
+        self.hyper_encoder = _HyperEncoder(self.mid_planes, self.planes)
+        self.hyper_decoder_mean = _HyperDecoder(self.mid_planes, self.planes)
+        self.hyper_decoder_scale = _HyperDecoderWithQReLU(self.mid_planes, self.planes)
+        self.entropy_bottleneck = EntropyBottleneck(self.mid_planes)
+        self.gaussian_conditional = GaussianConditional()
+
+    def __call__(self, y, training: bool = True):
+        z = self.hyper_encoder(y)
+        z_hat, z_likelihoods = self.entropy_bottleneck(z, training)
+        scales = self.hyper_decoder_scale(z_hat)
+        means = self.hyper_decoder_mean(z_hat)
+        _, y_likelihoods = self.gaussian_conditional(y, scales, means, training)
+        y_hat = ste_round(y - means) + means
+        return y_hat, {"y": y_likelihoods, "z": z_likelihoods}
+
+    # codec-path device methods
+    def encode_z(self, y):
+        return self.hyper_encoder(y)
+
+    def params_from_z_hat(self, z_hat):
+        return self.hyper_decoder_scale(z_hat), self.hyper_decoder_mean(z_hat)
+
+    def eb_aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+class ScaleSpaceFlowNet(nn.Module):
+    num_levels: int = 5
+    sigma0: float = 1.5
+    scale_field_shift: float = 1.0
+
+    def setup(self):
+        self.img_encoder = _Encoder(128, 192)
+        self.img_decoder = _Decoder(3, 128)
+        self.img_hyperprior = _Hyperprior()
+        self.res_encoder = _Encoder(128, 192)
+        self.res_decoder = _Decoder(3, 128)
+        self.res_hyperprior = _Hyperprior()
+        self.motion_encoder = _Encoder(128, 192)
+        self.motion_decoder = _Decoder(2 + 1, 128)
+        self.motion_hyperprior = _Hyperprior()
+
+    # -- training forward --------------------------------------------------
+    def __call__(self, frames, training: bool = True):
+        if not isinstance(frames, (list, tuple)):
+            raise RuntimeError(f"Invalid number of frames: {len(frames)}.")
+        reconstructions = []
+        frames_likelihoods = []
+
+        x_hat, likelihoods = self.forward_keyframe(frames[0], training)
+        reconstructions.append(x_hat)
+        frames_likelihoods.append(likelihoods)
+        x_ref = jax.lax.stop_gradient(x_hat)  # per google2020 paper
+
+        for i in range(1, len(frames)):
+            x_ref, likelihoods = self.forward_inter(frames[i], x_ref, training)
+            reconstructions.append(x_ref)
+            frames_likelihoods.append(likelihoods)
+
+        return {"x_hat": reconstructions, "likelihoods": frames_likelihoods}
+
+    def forward_keyframe(self, x, training: bool = True):
+        y = self.img_encoder(x)
+        y_hat, likelihoods = self.img_hyperprior(y, training)
+        x_hat = self.img_decoder(y_hat)
+        return x_hat, {"keyframe": likelihoods}
+
+    def forward_inter(self, x_cur, x_ref, training: bool = True):
+        x = jnp.concatenate((x_cur, x_ref), axis=-1)
+        y_motion = self.motion_encoder(x)
+        y_motion_hat, motion_likelihoods = self.motion_hyperprior(y_motion, training)
+
+        motion_info = self.motion_decoder(y_motion_hat)
+        x_pred = self.forward_prediction(x_ref, motion_info)
+
+        x_res = x_cur - x_pred
+        y_res = self.res_encoder(x_res)
+        y_res_hat, res_likelihoods = self.res_hyperprior(y_res, training)
+
+        y_combine = jnp.concatenate((y_res_hat, y_motion_hat), axis=-1)
+        x_res_hat = self.res_decoder(y_combine)
+
+        x_rec = x_pred + x_res_hat
+        return x_rec, {"motion": motion_likelihoods, "residual": res_likelihoods}
+
+    def forward_prediction(self, x_ref, motion_info):
+        flow, scale_field = motion_info[..., :2], motion_info[..., 2:]
+        volume = gaussian_volume(x_ref, self.sigma0, self.num_levels)
+        return warp_volume(volume, flow, scale_field)
+
+    def aux_loss_list(self):
+        return [
+            self.img_hyperprior.eb_aux_loss(),
+            self.res_hyperprior.eb_aux_loss(),
+            self.motion_hyperprior.eb_aux_loss(),
+        ]
+
+    # -- codec-path device methods (used via apply(method=...)) ------------
+    def run(self, name, *args):
+        """Generic dispatcher so the wrapper can jit arbitrary sub-modules."""
+        mods = {
+            "img_encoder": self.img_encoder,
+            "img_decoder": self.img_decoder,
+            "res_encoder": self.res_encoder,
+            "res_decoder": self.res_decoder,
+            "motion_encoder": self.motion_encoder,
+            "motion_decoder": self.motion_decoder,
+            "img_hyper_encode_z": self.img_hyperprior.encode_z,
+            "img_hyper_params": self.img_hyperprior.params_from_z_hat,
+            "res_hyper_encode_z": self.res_hyperprior.encode_z,
+            "res_hyper_params": self.res_hyperprior.params_from_z_hat,
+            "motion_hyper_encode_z": self.motion_hyperprior.encode_z,
+            "motion_hyper_params": self.motion_hyperprior.params_from_z_hat,
+        }
+        return mods[name](*args)
+
+    def predict(self, x_ref, motion_info):
+        return self.forward_prediction(x_ref, motion_info)
+
+
+# ---------------------------------------------------------------------------
+# Scale-space volume + trilinear warping
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_kernel2d(size: int, sigma: float) -> jnp.ndarray:
+    half = (size - 1) / 2.0
+    x = jnp.linspace(-half, half, size)
+    pdf = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k1 = pdf / pdf.sum()
+    return jnp.outer(k1, k1)
+
+
+def _gaussian_blur(x, kernel):
+    """Depthwise 2-D blur with replicate padding, NHWC."""
+    k = kernel.shape[0]
+    pad = k // 2
+    c = x.shape[-1]
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+    w = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _upsample2_bilinear(x):
+    """scale_factor=2 bilinear, align_corners=False, NHWC (torch semantics)."""
+    b, h, w, c = x.shape
+    return _upsample_axis_bilinear(_upsample_axis_bilinear(x, 1), 2)
+
+
+def _upsample_axis_bilinear(x, axis):
+    n = x.shape[axis]
+    x = jnp.moveaxis(x, axis, -1)
+    base = jnp.arange(n)
+    idx = jnp.clip(
+        base[None, :] + jnp.array([-1, 0, 1])[:, None], 0, n - 1
+    )
+    gathered = x[..., idx]  # (..., 3, n)
+    even = 0.25 * gathered[..., 0, :] + 0.75 * gathered[..., 1, :]
+    odd = 0.75 * gathered[..., 1, :] + 0.25 * gathered[..., 2, :]
+    out = jnp.stack([even, odd], axis=-1).reshape(*x.shape[:-1], 2 * n)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def gaussian_volume(x, sigma: float, num_levels: int):
+    """Gaussian scale-space volume (B, L+1, H, W, C)
+    (reference ``gaussian_volume``, ``models/video/google.py:331-355``)."""
+    k = 2 * int(math.ceil(3 * sigma)) + 1
+    kernel = _gaussian_kernel2d(k, sigma)
+    volume = [x]
+    x = _gaussian_blur(x, kernel)
+    volume.append(x)
+    for i in range(1, num_levels):
+        x = _avg_pool2(x)
+        x = _gaussian_blur(x, kernel)
+        interp = x
+        for _ in range(i):
+            interp = _upsample2_bilinear(interp)
+        volume.append(interp)
+    return jnp.stack(volume, axis=1)
+
+
+def _avg_pool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+
+
+def grid_sample_3d(volume, grid):
+    """Trilinear sampling of (B, D, H, W, C) at normalized (x, y, z) coords
+    (B, H', W', 3) — torch ``F.grid_sample`` with ``align_corners=False`` and
+    border padding."""
+    b, d, h, w, c = volume.shape
+
+    def unnormalize(coord, size):
+        return ((coord + 1) * size - 1) / 2
+
+    xs = unnormalize(grid[..., 0], w)
+    ys = unnormalize(grid[..., 1], h)
+    zs = unnormalize(grid[..., 2], d)
+
+    def sample_one(vol, xs, ys, zs):
+        x0 = jnp.floor(xs)
+        y0 = jnp.floor(ys)
+        z0 = jnp.floor(zs)
+        fx, fy, fz = xs - x0, ys - y0, zs - z0
+
+        def gather(zi, yi, xi):
+            zi = jnp.clip(zi, 0, d - 1).astype(jnp.int32)
+            yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            return vol[zi, yi, xi]  # (..., C)
+
+        c000 = gather(z0, y0, x0)
+        c001 = gather(z0, y0, x0 + 1)
+        c010 = gather(z0, y0 + 1, x0)
+        c011 = gather(z0, y0 + 1, x0 + 1)
+        c100 = gather(z0 + 1, y0, x0)
+        c101 = gather(z0 + 1, y0, x0 + 1)
+        c110 = gather(z0 + 1, y0 + 1, x0)
+        c111 = gather(z0 + 1, y0 + 1, x0 + 1)
+
+        fx = fx[..., None]
+        fy = fy[..., None]
+        fz = fz[..., None]
+        c00 = c000 * (1 - fx) + c001 * fx
+        c01 = c010 * (1 - fx) + c011 * fx
+        c10 = c100 * (1 - fx) + c101 * fx
+        c11 = c110 * (1 - fx) + c111 * fx
+        c0 = c00 * (1 - fy) + c01 * fy
+        c1 = c10 * (1 - fy) + c11 * fy
+        return c0 * (1 - fz) + c1 * fz
+
+    return jax.vmap(sample_one)(volume, xs, ys, zs)
+
+
+def warp_volume(volume, flow, scale_field):
+    """Warp a scale-space volume by a flow + scale field
+    (reference ``warp_volume``, ``models/video/google.py:357-375``).
+
+    volume: (B, D, H, W, C); flow: (B, H, W, 2) normalized-coordinate deltas;
+    scale_field: (B, H, W, 1) normalized z coordinate.
+    """
+    b, d, h, w, c = volume.shape
+    # affine_grid(eye, align_corners=False): half-pixel-centered base grid
+    xs = (2 * jnp.arange(w) + 1) / w - 1
+    ys = (2 * jnp.arange(h) + 1) / h - 1
+    base = jnp.stack(
+        jnp.meshgrid(xs, ys, indexing="xy"), axis=-1
+    )  # (H, W, 2) -> (x, y)
+    grid = base[None] + flow
+    grid = jnp.concatenate([grid, scale_field], axis=-1)
+    return grid_sample_3d(volume, grid)
+
+
+# ---------------------------------------------------------------------------
+# Stateful wrapper
+# ---------------------------------------------------------------------------
+
+
+class ScaleSpaceFlow(CompressionModel):
+    """Reference-surface wrapper: forward / compress / decompress / update /
+    aux_loss over frame lists."""
+
+    def __init__(self, num_levels=5, sigma0=1.5, scale_field_shift=1.0, params=None):
+        super().__init__(
+            ScaleSpaceFlowNet(num_levels, sigma0, scale_field_shift), params
+        )
+        self.scale_table = None
+        self.num_levels = num_levels
+
+    _BRANCHES = ("img", "res", "motion")
+
+    def init(self, key=None, input_shape=(1, 128, 128, 3)):
+        if key is None:
+            key = jax.random.key(0)
+        frames = [jnp.zeros(input_shape, jnp.float32)] * 2
+        variables = self.net.init(
+            {"params": key, "noise": jax.random.key(1)}, frames
+        )
+        self.params = variables["params"]
+        return self
+
+    def forward(self, frames, training: bool = False, key=None):
+        rngs = {"noise": key if key is not None else jax.random.key(0)}
+        frames = [jnp.asarray(f) for f in frames]
+        return self.net.apply({"params": self.params}, frames, training, rngs=rngs)
+
+    def aux_loss(self):
+        """List of per-hyperprior aux losses (reference returns a list,
+        ``models/video/google.py:384-392``)."""
+        return self.net.apply(
+            {"params": self.params}, method=ScaleSpaceFlowNet.aux_loss_list
+        )
+
+    def update(self, scale_table=None, force: bool = False) -> bool:
+        if scale_table is None:
+            scale_table = get_scale_table()
+        self.scale_table = np.asarray(scale_table, np.float32)
+        updated = False
+        for branch in self._BRANCHES:
+            yk, zk = f"{branch}_y", f"{branch}_z"
+            if yk not in self.tables or force:
+                self.tables[yk] = gc_ops.build_tables(self.scale_table)
+                updated = True
+            if zk not in self.tables or force:
+                self.tables[zk] = eb_ops.build_tables(
+                    EntropyBottleneck(192),
+                    self.params[f"{branch}_hyperprior"]["entropy_bottleneck"],
+                )
+                updated = True
+        return updated
+
+    # -- helpers -----------------------------------------------------------
+    def _run(self, name, *args):
+        key = f"run_{name}"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, *a: self.net.apply(
+                    p, name, *a, method=ScaleSpaceFlowNet.run
+                )
+            )
+        return self._jit_cache[key]({"params": self.params}, *args)
+
+    def _predict(self, x_ref, motion_info):
+        if "predict" not in self._jit_cache:
+            self._jit_cache["predict"] = jax.jit(
+                lambda p, r, m: self.net.apply(
+                    p, r, m, method=ScaleSpaceFlowNet.predict
+                )
+            )
+        return self._jit_cache["predict"]({"params": self.params}, x_ref, motion_info)
+
+    def _eb_medians(self, branch) -> np.ndarray:
+        q = self.params[f"{branch}_hyperprior"]["entropy_bottleneck"]["quantiles"]
+        return np.asarray(q)[:, 0, 1]
+
+    def _hyper_compress(self, branch, y):
+        """Two-stage hyperprior coding with STE-consistent reconstruction
+        (reference ``Hyperprior.compress``, ``models/video/google.py:169-183``)."""
+        y = np.asarray(y)
+        z = np.asarray(self._run(f"{branch}_hyper_encode_z", jnp.asarray(y)))
+        z_tab = self.tables[f"{branch}_z"]
+        y_tab = self.tables[f"{branch}_y"]
+        medians = self._eb_medians(branch)
+
+        z_string = eb_ops.compress(z, medians, z_tab)
+        z_hat = eb_ops.decompress(z_string, z.shape[1:3], medians, z_tab)
+
+        scales, means = self._run(f"{branch}_hyper_params", jnp.asarray(z_hat))
+        indexes = np.asarray(build_indexes(scales, jnp.asarray(self.scale_table)))
+        means = np.asarray(means)
+        y_string = gc_ops.compress(y, indexes, y_tab, means)
+        y_hat = np.round(y - means) + means
+        return jnp.asarray(y_hat), {
+            "strings": [y_string, z_string],
+            "shape": z.shape[1:3],
+        }
+
+    def _hyper_decompress(self, branch, strings, shape):
+        z_tab = self.tables[f"{branch}_z"]
+        y_tab = self.tables[f"{branch}_y"]
+        medians = self._eb_medians(branch)
+        z_hat = eb_ops.decompress(strings[1], tuple(shape), medians, z_tab)
+        scales, means = self._run(f"{branch}_hyper_params", jnp.asarray(z_hat))
+        indexes = np.asarray(build_indexes(scales, jnp.asarray(self.scale_table)))
+        y_hat = gc_ops.decompress(strings[0], indexes, y_tab, np.asarray(means))
+        return jnp.asarray(y_hat)
+
+    # -- codec surface ----------------------------------------------------
+    def compress(self, frames):
+        if not isinstance(frames, (list, tuple)):
+            raise RuntimeError(f"Invalid number of frames: {len(frames)}.")
+        self._require_ssf_tables()
+        frame_strings, shape_infos = [], []
+
+        x = jnp.asarray(frames[0])
+        y = self._run("img_encoder", x)
+        y_hat, out_keyframe = self._hyper_compress("img", y)
+        x_ref = self._run("img_decoder", y_hat)
+        frame_strings.append(out_keyframe["strings"])
+        shape_infos.append(out_keyframe["shape"])
+
+        for i in range(1, len(frames)):
+            x_cur = jnp.asarray(frames[i])
+            xcat = jnp.concatenate((x_cur, x_ref), axis=-1)
+            y_motion = self._run("motion_encoder", xcat)
+            y_motion_hat, out_motion = self._hyper_compress("motion", y_motion)
+
+            motion_info = self._run("motion_decoder", y_motion_hat)
+            x_pred = self._predict(x_ref, motion_info)
+
+            x_res = x_cur - x_pred
+            y_res = self._run("res_encoder", x_res)
+            y_res_hat, out_res = self._hyper_compress("res", y_res)
+
+            y_combine = jnp.concatenate((y_res_hat, y_motion_hat), axis=-1)
+            x_res_hat = self._run("res_decoder", y_combine)
+            x_ref = x_pred + x_res_hat
+
+            frame_strings.append(
+                {"motion": out_motion["strings"], "residual": out_res["strings"]}
+            )
+            shape_infos.append(
+                {"motion": out_motion["shape"], "residual": out_res["shape"]}
+            )
+
+        return frame_strings, shape_infos
+
+    def decompress(self, strings, shapes):
+        if not isinstance(strings, (list, tuple)) or not isinstance(
+            shapes, (list, tuple)
+        ):
+            raise RuntimeError(f"Invalid number of frames: {len(strings)}.")
+        if len(strings) != len(shapes):
+            raise RuntimeError(
+                f"Number of information should match {len(strings)} != {len(shapes)}."
+            )
+        self._require_ssf_tables()
+
+        y_hat = self._hyper_decompress("img", strings[0], shapes[0])
+        x_ref = self._run("img_decoder", y_hat)
+        dec_frames = [x_ref]
+
+        for i in range(1, len(strings)):
+            y_motion_hat = self._hyper_decompress(
+                "motion", strings[i]["motion"], shapes[i]["motion"]
+            )
+            motion_info = self._run("motion_decoder", y_motion_hat)
+            x_pred = self._predict(x_ref, motion_info)
+
+            y_res_hat = self._hyper_decompress(
+                "res", strings[i]["residual"], shapes[i]["residual"]
+            )
+            y_combine = jnp.concatenate((y_res_hat, y_motion_hat), axis=-1)
+            x_res_hat = self._run("res_decoder", y_combine)
+            x_ref = x_pred + x_res_hat
+            dec_frames.append(x_ref)
+
+        return dec_frames
+
+    def _require_ssf_tables(self):
+        for branch in self._BRANCHES:
+            if f"{branch}_y" not in self.tables or f"{branch}_z" not in self.tables:
+                raise ValueError("Uninitialized CDFs. Run update() first")

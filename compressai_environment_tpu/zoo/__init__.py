@@ -8,7 +8,8 @@ from .image import (
     mbt2018_mean,
     model_architectures,
 )
-from .torch_import import load_pretrained, load_state_dict, rename_key
+from .torch_import import load_pretrained, load_state_dict, load_state_dict_video, rename_key
+from .video import ssf2020
 
 image_models = {
     "bmshj2018-factorized": bmshj2018_factorized,
@@ -19,8 +20,8 @@ image_models = {
     "cheng2020-attn": cheng2020_attn,
 }
 
-video_models = {}
-models = {**image_models}
+video_models = {"ssf2020": ssf2020}
+models = {**image_models, **video_models}
 
 __all__ = [
     "bmshj2018_factorized",
@@ -34,7 +35,9 @@ __all__ = [
     "models",
     "cfgs",
     "model_architectures",
+    "ssf2020",
     "load_pretrained",
+    "load_state_dict_video",
     "load_state_dict",
     "rename_key",
 ]

@@ -155,6 +155,29 @@ def _extract_tables(state_dict, prefix: str) -> CdfTables | None:
     return CdfTables(cdf, length, offset)
 
 
+def load_state_dict_video(model, state_dict) -> None:
+    """SSF variant: three sub-hyperpriors, each with its own baked tables
+    (reference ``models/video/google.py:437-479``)."""
+    state_dict = load_pretrained(state_dict)
+    if model.params is None:
+        model.init()
+    model.params = state_dict_to_params(state_dict, model.params)
+    model._jit_cache.clear()
+
+    for branch in ("img", "res", "motion"):
+        gc = _extract_tables(state_dict, f"{branch}_hyperprior.gaussian_conditional")
+        eb = _extract_tables(state_dict, f"{branch}_hyperprior.entropy_bottleneck")
+        if gc is not None:
+            model.tables[f"{branch}_y"] = gc
+        if eb is not None:
+            model.tables[f"{branch}_z"] = eb
+        key = f"{branch}_hyperprior.gaussian_conditional.scale_table"
+        if key in state_dict:
+            st = _to_numpy(state_dict[key])
+            if st.size:
+                model.scale_table = st.astype(np.float32)
+
+
 def load_state_dict(model, state_dict) -> None:
     """Populate a wrapper :class:`CompressionModel` from a torch state dict:
     params, baked CDF tables, and the Gaussian scale table if present."""
