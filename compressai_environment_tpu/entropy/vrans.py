@@ -1,0 +1,347 @@
+"""Vectorized interleaved-stream rANS — the on-chip entropy coder.
+
+N independent rANS lanes advance in lockstep as (lanes,)-wide vector ops
+inside a ``lax.scan``; XLA keeps the whole coder on the TPU VPU. The design
+follows the interleaving property of ryg's rANS (independent streams can be
+multiplexed without signaling — ``third_party/ryg_rans/rans_byte.h:27-30``,
+4-way SIMD precedent in ``rans_word_sse41.h``), with the word-variant
+parameters: 32-bit state, 16-bit renormalization words, L = 1 << 16, and the
+framework's 16-bit probability precision.
+
+Differences from the reference single-stream format (``entropy/rans.py``,
+which remains the bit-exact-parity coder):
+
+* symbols are split into ``lanes`` contiguous blocks, one rANS stream each,
+* out-of-range symbols fold onto the per-row escape symbol as usual, but the
+  residual goes to a **side channel** of raw 32-bit values (in symbol order)
+  instead of inline bypass nibbles — branch-free for vector lanes,
+* tail positions are padded with the identity symbol (freq = 1 << 16), which
+  provably leaves the state untouched.
+
+Encoder state update needs a uint32/uint16 division; TPUs have no integer
+divide, so it is computed as a 4-leg base-256 long division in exact-f32
+range (every intermediate < 2^24), with a one-step integer correction.
+
+Blob layout (all little-endian):
+    u32 n_symbols | u16 lanes | u16 flags | u32 n_raw
+    u32 words_per_lane[lanes]            (includes the 2 state words)
+    u16 stream words, lane-major         (per lane: state_low, state_high,
+                                          then renorm words in decode order)
+    u32 raw escape values[n_raw]         (in symbol order)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "encode_interleaved",
+    "decode_interleaved",
+    "build_decode_lut",
+    "DEFAULT_LANES",
+]
+
+DEFAULT_LANES = 256
+_PREC = 16
+_L = np.uint32(1 << 16)
+_MASK16 = np.uint32(0xFFFF)
+
+
+# ---------------------------------------------------------------------------
+# device-side core
+# ---------------------------------------------------------------------------
+
+
+def _divmod_u32_u16(x, freq):
+    """(x // freq, x % freq) for x: uint32 < 2^32, freq: uint32 in [1, 2^16].
+
+    4-leg base-256 long division; every product/remainder < 2^24 so the f32
+    path is exact up to one ulp, fixed by an integer correction step.
+    """
+    x = x.astype(jnp.uint32)
+    f_f32 = freq.astype(jnp.float32)
+    q = jnp.zeros_like(x)
+    r = jnp.zeros_like(x)
+    for k in (3, 2, 1, 0):
+        d = (x >> np.uint32(8 * k)) & np.uint32(0xFF)
+        r = (r << np.uint32(8)) | d
+        ql = (r.astype(jnp.float32) / f_f32).astype(jnp.uint32)
+        rem = r - ql * freq
+        # signed correction in int32 space (rem is within [-freq, 2*freq))
+        rem_s = rem.astype(jnp.int32)
+        freq_s = freq.astype(jnp.int32)
+        ql = (ql.astype(jnp.int32) + (rem_s >= freq_s).astype(jnp.int32)
+              - (rem_s < 0).astype(jnp.int32)).astype(jnp.uint32)
+        r = r - ql * freq
+        q = (q << np.uint32(8)) | ql
+    return q, r
+
+
+@partial(jax.jit, static_argnames=("T",))
+def _encode_scan(starts, freqs, T: int):
+    """starts/freqs: (T, L) uint32 per-position coding params.
+
+    Returns (words (T, L) uint16-in-uint32, valid (T, L) bool, state (L,)).
+    Scan runs t = T-1 .. 0 (reverse); stream order per lane is then the
+    flush words followed by the valid words in ascending t.
+    """
+    lanes = starts.shape[1]
+    x0 = jnp.full((lanes,), _L, jnp.uint32)
+
+    def step(x, inp):
+        start, freq = inp
+        emit = (x >> np.uint32(16)) >= freq
+        word = (x & _MASK16).astype(jnp.uint32)
+        x = jnp.where(emit, x >> np.uint32(16), x)
+        q, r = _divmod_u32_u16(x, freq)
+        x = (q << np.uint32(16)) + r + start
+        return x, (word, emit)
+
+    x_final, (words, valid) = jax.lax.scan(
+        step, x0, (starts, freqs), reverse=True
+    )
+    return words, valid, x_final
+
+
+@partial(jax.jit, static_argnames=("T", "w_cap"))
+def _encode_scan_packed(starts, freqs, T: int, w_cap: int):
+    """Encode + on-device stream compaction.
+
+    Returns (packed (w_cap, L) uint32 words with [0]=state_low [1]=state_high,
+    counts (L,) int32 including the 2 state words, overflow flag). Downloading
+    the packed buffer costs ~bits/16 words per symbol instead of the dense
+    (T, L) emission matrix.
+    """
+    lanes = starts.shape[1]
+    words, valid, state = _encode_scan(starts, freqs, T)
+
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
+    rows_idx = jnp.where(valid, pos + 2, w_cap)  # invalid -> dumped row
+    lane_iota = jnp.broadcast_to(jnp.arange(lanes)[None, :], rows_idx.shape)
+    packed = jnp.zeros((w_cap + 1, lanes), jnp.uint32)
+    packed = packed.at[rows_idx, lane_iota].set(words, mode="drop")
+    packed = packed.at[0].set(state & _MASK16)
+    packed = packed.at[1].set(state >> np.uint32(16))
+    counts = valid.sum(axis=0).astype(jnp.int32) + 2
+    overflow = jnp.any(counts > w_cap)
+    return packed[:w_cap], counts, overflow
+
+
+@partial(jax.jit, static_argnames=("T",))
+def _decode_scan(x0, words, rows, pad_mask, lut, cdf, T: int):
+    """x0: (L,) uint32 init states; words: (W, L) uint32 renorm words;
+    rows: (T, L) int32 CDF-row per position; pad_mask: (T, L) bool;
+    lut: (nrows, 65536) int32 cum->symbol; cdf: (nrows, stride) int32.
+
+    Returns decoded coded-symbols (T, L) int32 (escape folded, no offset).
+    """
+    lanes = rows.shape[1]
+    lane_iota = jnp.arange(lanes)
+
+    def step(carry, inp):
+        x, cursor = carry
+        row, pad = inp
+        cum = (x & _MASK16).astype(jnp.uint32)
+        safe_row = jnp.maximum(row, 0)
+        s = lut[safe_row, cum.astype(jnp.int32)]
+        start = cdf[safe_row, s].astype(jnp.uint32)
+        freq = (cdf[safe_row, s + 1] - cdf[safe_row, s]).astype(jnp.uint32)
+        start = jnp.where(pad, jnp.uint32(0), start)
+        freq = jnp.where(pad, _L, freq)
+        s = jnp.where(pad, 0, s)
+
+        x = freq * (x >> np.uint32(16)) + cum - start
+        need = x < _L
+        w = words[jnp.minimum(cursor, words.shape[0] - 1), lane_iota]
+        x = jnp.where(need, (x << np.uint32(16)) | w, x)
+        cursor = cursor + need.astype(jnp.int32)
+        return (x, cursor), s
+
+    (x, cursor), syms = jax.lax.scan(
+        step, (x0, jnp.zeros((lanes,), jnp.int32)), (rows, pad_mask)
+    )
+    return syms
+
+
+def build_decode_lut(quantized_cdf: np.ndarray, cdf_length: np.ndarray) -> np.ndarray:
+    """(nrows, 65536) int32: cumulative frequency -> symbol, per CDF row."""
+    n, _ = quantized_cdf.shape
+    lut = np.zeros((n, 1 << _PREC), dtype=np.int32)
+    cums = np.arange(1 << _PREC)
+    for i in range(n):
+        size = int(cdf_length[i])
+        lut[i] = np.searchsorted(quantized_cdf[i, :size], cums, side="right") - 1
+    return lut
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+
+def _lane_layout(n: int, lanes: int):
+    T = -(-n // lanes)
+    return T
+
+
+def _fold_escapes(symbols, indexes, cdfs_sizes, offsets):
+    """Vectorized escape folding: returns (coded_symbols, raw_values)."""
+    symbols = np.asarray(symbols, np.int64).reshape(-1)
+    indexes = np.asarray(indexes, np.int64).reshape(-1)
+    max_value = np.asarray(cdfs_sizes, np.int64)[indexes] - 2
+    value = symbols - np.asarray(offsets, np.int64)[indexes]
+
+    neg = value < 0
+    over = value >= max_value
+    raw_neg = (-2 * value - 1).astype(np.uint32)
+    raw_over = (2 * (value - max_value)).astype(np.uint32)
+
+    coded = np.where(neg | over, max_value, value).astype(np.int32)
+    esc = neg | over
+    raw = np.where(neg, raw_neg, raw_over)[esc]
+    return coded, esc, raw
+
+
+def encode_interleaved(
+    symbols, indexes, cdfs, cdfs_sizes, offsets, lanes: int = DEFAULT_LANES
+) -> bytes:
+    """Encode one tensor into the interleaved-lane blob format."""
+    cdfs = np.asarray(cdfs, np.int32)
+    cdfs_sizes = np.asarray(cdfs_sizes, np.int32)
+    offsets = np.asarray(offsets, np.int32)
+    indexes_flat = np.asarray(indexes, np.int32).reshape(-1)
+    n = indexes_flat.size
+
+    coded, _, raw = _fold_escapes(symbols, indexes_flat, cdfs_sizes, offsets)
+
+    T = _lane_layout(n, lanes)
+    pad = T * lanes - n
+    # per-symbol coding params via table gathers
+    starts_flat = cdfs[indexes_flat, coded].astype(np.uint32)
+    freqs_flat = (
+        cdfs[indexes_flat, coded + 1] - cdfs[indexes_flat, coded]
+    ).astype(np.uint32)
+    starts = np.concatenate([starts_flat, np.zeros(pad, np.uint32)])
+    freqs = np.concatenate([freqs_flat, np.full(pad, 1 << 16, np.uint32)])
+    # lane-blocked layout: lane l codes positions [l*T, (l+1)*T) -> (T, L)
+    starts = starts.reshape(lanes, T).T
+    freqs = freqs.reshape(lanes, T).T
+
+    # device encode + compaction; w_cap sized for <=~10 bits/symbol with a
+    # dense-emission fallback for pathological streams
+    w_cap = max(8, (T * 10) // 16 + 4)
+    packed, counts, overflow = _encode_scan_packed(
+        jnp.asarray(starts), jnp.asarray(freqs), T, min(w_cap, T + 2)
+    )
+    if bool(overflow):
+        words, valid, state = _encode_scan(
+            jnp.asarray(starts), jnp.asarray(freqs), T
+        )
+        words = np.asarray(words).astype(np.uint16)
+        valid = np.asarray(valid)
+        state = np.asarray(state, np.uint32)
+        counts = valid.sum(axis=0).astype(np.int64) + 2
+        streams = []
+        for l in range(lanes):
+            lane_words = words[valid[:, l], l]
+            streams.append(
+                np.concatenate([
+                    np.array(
+                        [state[l] & 0xFFFF, state[l] >> 16], dtype=np.uint16
+                    ),
+                    lane_words,
+                ])
+            )
+        stream = np.concatenate(streams) if streams else np.zeros(0, np.uint16)
+    else:
+        packed_np = np.asarray(packed).astype(np.uint16)  # (w_cap, L)
+        counts = np.asarray(counts).astype(np.int64)
+        stream = np.concatenate(
+            [packed_np[: counts[l], l] for l in range(lanes)]
+        ) if lanes else np.zeros(0, np.uint16)
+
+    header = np.zeros(3, dtype="<u4")
+    header[0] = n
+    header[1] = lanes  # u16 lanes | u16 flags packed in one u32
+    header[2] = raw.size
+    blob = b"".join([
+        header.tobytes(),
+        counts.astype("<u4").tobytes(),
+        stream.astype("<u2").tobytes(),
+        raw.astype("<u4").tobytes(),
+    ])
+    return blob
+
+
+def decode_interleaved(
+    blob: bytes, indexes, cdfs, cdfs_sizes, offsets, lut=None
+) -> np.ndarray:
+    """Decode a blob back to symbols shaped like ``indexes``."""
+    cdfs = np.asarray(cdfs, np.int32)
+    cdfs_sizes = np.asarray(cdfs_sizes, np.int32)
+    offsets = np.asarray(offsets, np.int32)
+    indexes = np.asarray(indexes, np.int32)
+    shape = indexes.shape
+    indexes_flat = indexes.reshape(-1)
+
+    header = np.frombuffer(blob[:12], dtype="<u4")
+    n, lanes, n_raw = int(header[0]), int(header[1] & 0xFFFF), int(header[2])
+    if n != indexes_flat.size:
+        raise ValueError(f"blob holds {n} symbols, indexes imply {indexes_flat.size}")
+
+    off = 12
+    counts = np.frombuffer(blob[off : off + 4 * lanes], dtype="<u4").astype(np.int64)
+    off += 4 * lanes
+    total_words = int(counts.sum())
+    stream = np.frombuffer(blob[off : off + 2 * total_words], dtype="<u2")
+    off += 2 * total_words
+    raw = np.frombuffer(blob[off : off + 4 * n_raw], dtype="<u4")
+
+    # unpack per-lane streams into an (W, L) padded matrix + init states
+    T = _lane_layout(n, lanes)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    x0 = np.empty(lanes, np.uint32)
+    max_w = max(1, int((counts - 2).max()) if lanes else 1)
+    words = np.zeros((max_w, lanes), np.uint32)
+    for l in range(lanes):
+        s = stream[bounds[l] : bounds[l + 1]]
+        x0[l] = np.uint32(s[0]) | (np.uint32(s[1]) << 16)
+        lane_words = s[2:]
+        words[: lane_words.size, l] = lane_words
+
+    pad = T * lanes - n
+    rows = np.concatenate([indexes_flat, np.full(pad, -1, np.int32)])
+    rows = rows.reshape(lanes, T).T
+    pad_mask = rows < 0
+
+    if lut is None:
+        lut = build_decode_lut(cdfs, cdfs_sizes)
+
+    syms = np.asarray(
+        _decode_scan(
+            jnp.asarray(x0),
+            jnp.asarray(words),
+            jnp.asarray(rows),
+            jnp.asarray(pad_mask),
+            jnp.asarray(lut),
+            jnp.asarray(cdfs),
+            T,
+        )
+    )
+    coded = syms.T.reshape(-1)[:n]  # undo lane-blocked layout
+
+    # unfold escapes from the raw side channel
+    max_value = cdfs_sizes[indexes_flat] - 2
+    esc = coded == max_value
+    values = coded.astype(np.int64)
+    if n_raw:
+        raw_vals = raw[np.cumsum(esc)[esc] - 1].astype(np.int64)
+        dec = raw_vals >> 1
+        dec = np.where(raw_vals & 1, -dec - 1, dec + max_value[esc])
+        values[esc] = dec
+    out = (values + offsets[indexes_flat]).astype(np.int32)
+    return out.reshape(shape)

@@ -54,6 +54,17 @@ class CdfTables:
     def num_cdfs(self) -> int:
         return self.quantized_cdf.shape[0]
 
+    @property
+    def decode_lut(self) -> np.ndarray:
+        """Cached cum->symbol lookup table for the vectorized decoder."""
+        lut = getattr(self, "_decode_lut", None)
+        if lut is None:
+            from ..entropy.vrans import build_decode_lut
+
+            lut = build_decode_lut(self.quantized_cdf, self.cdf_length)
+            object.__setattr__(self, "_decode_lut", lut)
+        return lut
+
     def validate(self):
         if self.quantized_cdf.size == 0:
             raise ValueError("Uninitialized CDFs. Run update() first")
@@ -85,6 +96,53 @@ def compress_symbols(symbols: np.ndarray, indexes: np.ndarray, tables: CdfTables
         tables.cdf_length,
         tables.offset,
     )
+
+
+def compress_symbols_interleaved(
+    symbols: np.ndarray, indexes: np.ndarray, tables: CdfTables,
+    lanes: int = None,
+):
+    """Encode per-batch-element planes with the on-chip interleaved-lane
+    coder (format "tpu"; see ``entropy/vrans.py``)."""
+    from ..entropy import vrans
+
+    tables.validate()
+    symbols = np.asarray(symbols)
+    indexes = np.asarray(indexes)
+    if symbols.ndim < 2:
+        raise ValueError(
+            "Invalid `inputs` size. Expected a tensor with at least 2 dimensions."
+        )
+    if symbols.shape != indexes.shape:
+        raise ValueError("`inputs` and `indexes` should have the same size.")
+    lanes = lanes or vrans.DEFAULT_LANES
+    batch = symbols.shape[0]
+    return [
+        vrans.encode_interleaved(
+            symbols[b].reshape(-1), indexes[b].reshape(-1),
+            tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
+        )
+        for b in range(batch)
+    ]
+
+
+def decompress_symbols_interleaved(
+    strings, indexes: np.ndarray, tables: CdfTables
+) -> np.ndarray:
+    from ..entropy import vrans
+
+    tables.validate()
+    indexes = np.asarray(indexes)
+    batch = indexes.shape[0]
+    out = np.stack([
+        vrans.decode_interleaved(
+            strings[b], indexes[b].reshape(-1),
+            tables.quantized_cdf, tables.cdf_length, tables.offset,
+            lut=tables.decode_lut,
+        )
+        for b in range(batch)
+    ])
+    return out.reshape(indexes.shape)
 
 
 def decompress_symbols(strings, indexes: np.ndarray, tables: CdfTables) -> np.ndarray:

@@ -24,7 +24,13 @@ import numpy as np
 from ..entropy.cdf import pmf_to_quantized_cdf_batch
 from ..ops.bound import lower_bound
 from ..ops.quant import quantize as quantize_fn
-from .base import CdfTables, compress_symbols, decompress_symbols
+from .base import (
+    CdfTables,
+    compress_symbols,
+    compress_symbols_interleaved,
+    decompress_symbols,
+    decompress_symbols_interleaved,
+)
 
 __all__ = ["EntropyBottleneck", "build_tables", "compress", "decompress"]
 
@@ -191,19 +197,29 @@ def _spatial_indexes(shape, channels) -> np.ndarray:
     return np.broadcast_to(idx, shape)
 
 
-def compress(x: np.ndarray, medians: np.ndarray, tables: CdfTables):
-    """x: (B, ..., C) latent; medians: (C,). Returns list of strings."""
+def compress(x: np.ndarray, medians: np.ndarray, tables: CdfTables, fmt: str = "rans"):
+    """x: (B, ..., C) latent; medians: (C,). Returns list of strings.
+
+    fmt: "rans" (reference-bit-exact single stream) or "tpu" (interleaved
+    lanes, coded on device).
+    """
     x = np.asarray(x)
     c = x.shape[-1]
     symbols = np.round(x - medians.reshape(-1)).astype(np.int32)
     indexes = _spatial_indexes(x.shape, c)
+    if fmt == "tpu":
+        return compress_symbols_interleaved(symbols, indexes, tables)
     return compress_symbols(symbols, indexes, tables)
 
 
-def decompress(strings, spatial_shape, medians: np.ndarray, tables: CdfTables):
+def decompress(strings, spatial_shape, medians: np.ndarray, tables: CdfTables,
+               fmt: str = "rans"):
     """Inverse of :func:`compress`; returns (B, *spatial_shape, C) float32."""
     c = tables.num_cdfs
     out_shape = (len(strings),) + tuple(spatial_shape) + (c,)
     indexes = _spatial_indexes(out_shape, c)
-    symbols = decompress_symbols(strings, indexes, tables)
+    if fmt == "tpu":
+        symbols = decompress_symbols_interleaved(strings, indexes, tables)
+    else:
+        symbols = decompress_symbols(strings, indexes, tables)
     return symbols.astype(np.float32) + np.asarray(medians, np.float32).reshape(-1)

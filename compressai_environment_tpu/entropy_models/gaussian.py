@@ -20,7 +20,13 @@ import numpy as np
 from ..entropy.cdf import pmf_to_quantized_cdf_batch
 from ..ops.bound import lower_bound
 from ..ops.quant import quantize as quantize_fn
-from .base import CdfTables, compress_symbols, decompress_symbols
+from .base import (
+    CdfTables,
+    compress_symbols,
+    compress_symbols_interleaved,
+    decompress_symbols,
+    decompress_symbols_interleaved,
+)
 
 __all__ = [
     "GaussianConditional",
@@ -137,16 +143,23 @@ def build_tables(scale_table, tail_mass: float = 1e-9) -> CdfTables:
     return CdfTables(quantized_cdf, pmf_length + 2, -pmf_center)
 
 
-def compress(inputs: np.ndarray, indexes: np.ndarray, tables: CdfTables, means=None):
+def compress(inputs: np.ndarray, indexes: np.ndarray, tables: CdfTables, means=None,
+             fmt: str = "rans"):
     """Quantize to symbols and encode; inputs/indexes: (B, ...)."""
     inputs = np.asarray(inputs)
     values = inputs - np.asarray(means) if means is not None else inputs
     symbols = np.round(values).astype(np.int32)
+    if fmt == "tpu":
+        return compress_symbols_interleaved(symbols, np.asarray(indexes), tables)
     return compress_symbols(symbols, np.asarray(indexes), tables)
 
 
-def decompress(strings, indexes: np.ndarray, tables: CdfTables, means=None):
-    symbols = decompress_symbols(strings, np.asarray(indexes), tables)
+def decompress(strings, indexes: np.ndarray, tables: CdfTables, means=None,
+               fmt: str = "rans"):
+    if fmt == "tpu":
+        symbols = decompress_symbols_interleaved(strings, np.asarray(indexes), tables)
+    else:
+        symbols = decompress_symbols(strings, np.asarray(indexes), tables)
     if means is not None:
         return symbols.astype(np.float32) + np.asarray(means, np.float32)
     return symbols.astype(np.float32)

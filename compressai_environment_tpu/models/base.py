@@ -33,6 +33,9 @@ class CompressionModel:
         self.params = params
         self.tables: Dict[str, Any] = {}
         self._jit_cache: Dict[str, Any] = {}
+        # "rans": reference-bit-exact single stream per image;
+        # "tpu": interleaved-lane on-chip coder (entropy/vrans.py)
+        self.stream_format = "rans"
 
     # -- lifecycle ---------------------------------------------------------
     def init(self, key=None, input_shape=(1, 256, 256, 3)):

@@ -99,14 +99,17 @@ class FactorizedPrior(CompressionModel):
             "encode", lambda p, v: self.net.apply(p, v, method=FactorizedPriorNet.encode)
         )
         y = np.asarray(encode({"params": self.params}, x))
-        y_strings = eb_ops.compress(y, self._medians(), self.tables["y"])
+        y_strings = eb_ops.compress(
+            y, self._medians(), self.tables["y"], fmt=self.stream_format
+        )
         return {"strings": [y_strings], "shape": y.shape[1:3]}
 
     def decompress(self, strings, shape):
         assert isinstance(strings, list) and len(strings) == 1
         self._require_tables("y")
         y_hat = eb_ops.decompress(
-            strings[0], tuple(shape), self._medians(), self.tables["y"]
+            strings[0], tuple(shape), self._medians(), self.tables["y"],
+            fmt=self.stream_format,
         )
         decode = self._jitted(
             "decode", lambda p, v: self.net.apply(p, v, method=FactorizedPriorNet.decode)
@@ -210,11 +213,14 @@ class ScaleHyperprior(CompressionModel):
         y, z = encode({"params": self.params}, x)
         y, z = np.asarray(y), np.asarray(z)
 
-        z_strings = eb_ops.compress(z, self._medians(), self.tables["z"])
+        z_strings = eb_ops.compress(
+            z, self._medians(), self.tables["z"], fmt=self.stream_format
+        )
         # encoder decodes its own z so both sides derive identical scales
         # (reference models/google.py:306-309)
         z_hat = eb_ops.decompress(
-            z_strings, z.shape[1:3], self._medians(), self.tables["z"]
+            z_strings, z.shape[1:3], self._medians(), self.tables["z"],
+            fmt=self.stream_format,
         )
 
         params_dev = {"params": self.params}
@@ -225,14 +231,17 @@ class ScaleHyperprior(CompressionModel):
         out = hyper(params_dev, jnp.asarray(z_hat))
         indexes, means = self._indexes_and_means(out)
 
-        y_strings = gc_ops.compress(y, np.asarray(indexes), self.tables["y"], means)
+        y_strings = gc_ops.compress(
+            y, np.asarray(indexes), self.tables["y"], means, fmt=self.stream_format
+        )
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
 
     def decompress(self, strings, shape):
         assert isinstance(strings, list) and len(strings) == 2
         self._require_tables("y", "z")
         z_hat = eb_ops.decompress(
-            strings[1], tuple(shape), self._medians(), self.tables["z"]
+            strings[1], tuple(shape), self._medians(), self.tables["z"],
+            fmt=self.stream_format,
         )
         hyper = self._jitted(
             "hyper_decode",
@@ -241,7 +250,8 @@ class ScaleHyperprior(CompressionModel):
         out = hyper({"params": self.params}, jnp.asarray(z_hat))
         indexes, means = self._indexes_and_means(out)
         y_hat = gc_ops.decompress(
-            strings[0], np.asarray(indexes), self.tables["y"], means
+            strings[0], np.asarray(indexes), self.tables["y"], means,
+            fmt=self.stream_format,
         )
         decode = self._jitted(
             "decode", lambda p, v: self.net.apply(p, v, method=self.net_cls.decode)

@@ -23,6 +23,10 @@ def _make(cls, *args):
     return cls(*args).init(key=jax.random.key(42), input_shape=SHAPE)
 
 
+def _kw(compressed):
+    return {"strings": compressed["strings"], "shape": compressed["shape"]}
+
+
 @pytest.fixture(scope="module")
 def image(rng_mod=np.random.default_rng(7)):
     return rng_mod.random(SHAPE, dtype=np.float32)
@@ -81,6 +85,23 @@ class TestCodecRoundTrip:
             np.asarray(d["x_hat"]),
             np.clip(np.asarray(ref["x_hat"]), 0, 1),
             atol=1e-5,
+        )
+
+    @pytest.mark.parametrize(
+        "cls,args",
+        [(FactorizedPrior, (16, 24)), (MeanScaleHyperprior, (16, 24))],
+    )
+    def test_tpu_stream_format_roundtrip(self, image, cls, args):
+        """The interleaved-lane on-chip coder must reconstruct identically to
+        the reference-format host coder."""
+        m = _make(cls, *args)
+        m.update(force=True)
+        ref = m.decompress(**_kw(m.compress(image)))
+        m.stream_format = "tpu"
+        c = m.compress(image)
+        d = m.decompress(c["strings"], c["shape"])
+        np.testing.assert_allclose(
+            np.asarray(d["x_hat"]), np.asarray(ref["x_hat"]), atol=1e-6
         )
 
     def test_compress_requires_update(self, image):

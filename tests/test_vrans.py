@@ -1,0 +1,88 @@
+"""Interleaved-lane vectorized rANS tests: round trips, escapes, lane counts,
+and compression-ratio sanity vs the single-stream reference coder."""
+
+import numpy as np
+import pytest
+
+from compressai_environment_tpu.entropy import encode_with_indexes
+from compressai_environment_tpu.entropy.cdf import pmf_to_quantized_cdf
+from compressai_environment_tpu.entropy.vrans import (
+    build_decode_lut,
+    decode_interleaved,
+    encode_interleaved,
+)
+
+
+def _table(rng, ncdfs=8, max_support=16):
+    sizes = rng.integers(3, max_support + 2, size=ncdfs)
+    stride = int(sizes.max()) + 1
+    cdfs = np.zeros((ncdfs, stride), dtype=np.int32)
+    for i, sz in enumerate(sizes):
+        pmf = rng.random(int(sz) - 1).astype(np.float32) + 1e-3
+        pmf = pmf / pmf.sum() * 0.9999
+        row = pmf_to_quantized_cdf(pmf, 16)
+        cdfs[i, : len(row)] = row
+    offsets = rng.integers(-10, 10, size=ncdfs).astype(np.int32)
+    return cdfs, sizes.astype(np.int32), offsets
+
+
+class TestInterleavedRoundTrip:
+    @pytest.mark.parametrize("n,lanes", [(10, 4), (1000, 16), (5000, 64), (513, 8)])
+    def test_roundtrip(self, rng, n, lanes):
+        cdfs, sizes, offsets = _table(rng)
+        indexes = rng.integers(0, 8, size=n).astype(np.int32)
+        max_vals = sizes[indexes] - 2
+        symbols = (rng.random(n) * max_vals).astype(np.int32) + offsets[indexes]
+        blob = encode_interleaved(symbols, indexes, cdfs, sizes, offsets, lanes)
+        out = decode_interleaved(blob, indexes, cdfs, sizes, offsets)
+        np.testing.assert_array_equal(out, symbols)
+
+    def test_roundtrip_with_escapes(self, rng):
+        cdfs, sizes, offsets = _table(rng, ncdfs=4)
+        n = 2000
+        indexes = rng.integers(0, 4, size=n).astype(np.int32)
+        symbols = rng.integers(-500, 500, size=n).astype(np.int32)
+        blob = encode_interleaved(symbols, indexes, cdfs, sizes, offsets, lanes=32)
+        out = decode_interleaved(blob, indexes, cdfs, sizes, offsets)
+        np.testing.assert_array_equal(out, symbols)
+
+    def test_deterministic(self, rng):
+        cdfs, sizes, offsets = _table(rng)
+        indexes = rng.integers(0, 8, size=777).astype(np.int32)
+        symbols = rng.integers(-20, 20, size=777).astype(np.int32)
+        a = encode_interleaved(symbols, indexes, cdfs, sizes, offsets, 16)
+        b = encode_interleaved(symbols, indexes, cdfs, sizes, offsets, 16)
+        assert a == b
+
+    def test_shaped_indexes(self, rng):
+        cdfs, sizes, offsets = _table(rng)
+        indexes = rng.integers(0, 8, size=(4, 8, 8)).astype(np.int32)
+        symbols = rng.integers(-5, 5, size=(4, 8, 8)).astype(np.int32)
+        blob = encode_interleaved(symbols, indexes, cdfs, sizes, offsets, 8)
+        out = decode_interleaved(blob, indexes, cdfs, sizes, offsets)
+        assert out.shape == (4, 8, 8)
+        np.testing.assert_array_equal(out, symbols)
+
+    def test_compression_ratio_close_to_reference(self, rng):
+        """Interleaving costs ~4 bytes/lane of flush overhead; entropy
+        efficiency must match the single-stream coder closely."""
+        cdfs, sizes, offsets = _table(rng, ncdfs=8, max_support=12)
+        n = 50000
+        lanes = 64
+        indexes = rng.integers(0, 8, size=n).astype(np.int32)
+        max_vals = sizes[indexes] - 2
+        symbols = (rng.random(n) * max_vals).astype(np.int32) + offsets[indexes]
+
+        blob = encode_interleaved(symbols, indexes, cdfs, sizes, offsets, lanes)
+        ref = encode_with_indexes(symbols, indexes, cdfs, sizes, offsets)
+        overhead = 12 + 4 * lanes + 4 * lanes  # header + counts + flush words
+        assert len(blob) <= len(ref) * 1.02 + overhead
+
+    def test_lut(self, rng):
+        cdfs, sizes, offsets = _table(rng)
+        lut = build_decode_lut(cdfs, sizes)
+        for i in range(len(sizes)):
+            size = int(sizes[i])
+            for cum in (0, 1, 100, 65535):
+                s = lut[i, cum]
+                assert cdfs[i, s] <= cum < cdfs[i, s + 1]
