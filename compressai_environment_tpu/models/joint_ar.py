@@ -141,6 +141,13 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
             self._jit_cache["ar_weights"] = _ARWeights(self.params, self.M)
         return self._jit_cache["ar_weights"]
 
+    def _ar_weights_device(self):
+        if "ar_weights_dev" not in self._jit_cache:
+            from ..parallel.wavefront import ARWeightsDevice
+
+            self._jit_cache["ar_weights_dev"] = ARWeightsDevice(self.params, self.M)
+        return self._jit_cache["ar_weights_dev"]
+
     def compress(self, x):
         self._require_tables("y", "z")
         x = self._nhwc(x)
@@ -164,15 +171,29 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         pad = 2  # (kernel_size - 1) // 2
         y_h, y_w = z.shape[1] * s, z.shape[2] * s
 
+        # AR symbols via the device wavefront scheduler (symbol-exact with the
+        # serial raster scan); rANS encode in raster order on host
+        from ..parallel.wavefront import wavefront_encode_symbols
+
+        w8 = self._ar_weights_device()
+        tables = self.tables["y"]
         y_strings = []
         for b in range(y.shape[0]):
+            symbols, indexes, _ = wavefront_encode_symbols(
+                y[b], params_hs[b], w8, self.scale_table
+            )
             y_strings.append(
-                self._compress_ar(y[b], params_hs[b], y_h, y_w, pad)
+                coder.encode_with_indexes(
+                    np.asarray(symbols), np.asarray(indexes),
+                    tables.quantized_cdf, tables.cdf_length, tables.offset,
+                )
             )
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
 
     def _compress_ar(self, y, params_hs, height, width, pad) -> bytes:
-        """Strict-raster AR encode of one image's latents (host)."""
+        """Strict-raster AR encode of one image's latents (host serial
+        fallback; kept as the executable specification of the coding order —
+        the wavefront path is tested symbol-exact against it)."""
         w8 = self._ar_weights()
         M = self.M
         tables = self.tables["y"]

