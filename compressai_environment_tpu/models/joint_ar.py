@@ -157,9 +157,12 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         y, z = encode({"params": self.params}, x)
         y, z = np.asarray(y), np.asarray(z)
 
-        z_strings = eb_ops.compress(z, self._medians(), self.tables["z"])
+        z_strings = eb_ops.compress(
+            z, self._medians(), self.tables["z"], fmt=self.stream_format
+        )
         z_hat = eb_ops.decompress(
-            z_strings, z.shape[1:3], self._medians(), self.tables["z"]
+            z_strings, z.shape[1:3], self._medians(), self.tables["z"],
+            fmt=self.stream_format,
         )
         hyper = self._jitted(
             "hyper_decode",
@@ -172,8 +175,11 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         y_h, y_w = z.shape[1] * s, z.shape[2] * s
 
         # AR symbols via the device wavefront scheduler (symbol-exact with the
-        # serial raster scan); rANS encode in raster order on host
-        from ..parallel.wavefront import wavefront_encode_symbols
+        # serial raster scan); stream format:
+        #   "rans": single raster-order stream per image (reference layout)
+        #   "tpu":  one rANS lane per (row, channel) so decode can follow the
+        #           same wavefront on device
+        from ..parallel.wavefront import encode_ar_lanes, wavefront_encode_symbols
 
         w8 = self._ar_weights_device()
         tables = self.tables["y"]
@@ -182,12 +188,17 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
             symbols, indexes, _ = wavefront_encode_symbols(
                 y[b], params_hs[b], w8, self.scale_table
             )
-            y_strings.append(
-                coder.encode_with_indexes(
-                    np.asarray(symbols), np.asarray(indexes),
-                    tables.quantized_cdf, tables.cdf_length, tables.offset,
+            if self.stream_format == "tpu":
+                y_strings.append(
+                    encode_ar_lanes(np.asarray(symbols), np.asarray(indexes), tables)
                 )
-            )
+            else:
+                y_strings.append(
+                    coder.encode_with_indexes(
+                        np.asarray(symbols), np.asarray(indexes),
+                        tables.quantized_cdf, tables.cdf_length, tables.offset,
+                    )
+                )
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
 
     def _compress_ar(self, y, params_hs, height, width, pad) -> bytes:
@@ -230,7 +241,8 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         assert isinstance(strings, list) and len(strings) == 2
         self._require_tables("y", "z")
         z_hat = eb_ops.decompress(
-            strings[1], tuple(shape), self._medians(), self.tables["z"]
+            strings[1], tuple(shape), self._medians(), self.tables["z"],
+            fmt=self.stream_format,
         )
         hyper = self._jitted(
             "hyper_decode",
@@ -241,9 +253,23 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         s, pad = 4, 2
         y_h, y_w = shape[0] * s, shape[1] * s
 
-        y_hat = np.zeros((len(strings[0]), y_h, y_w, self.M), np.float32)
-        for b, y_string in enumerate(strings[0]):
-            y_hat[b] = self._decompress_ar(y_string, params_hs[b], y_h, y_w, pad)
+        if self.stream_format == "tpu":
+            from ..parallel.wavefront import wavefront_decode
+
+            w8 = self._ar_weights_device()
+            y_hat = np.stack([
+                np.asarray(
+                    wavefront_decode(
+                        y_string, params_hs[b], w8, self.tables["y"],
+                        self.scale_table, y_h, y_w,
+                    )
+                )
+                for b, y_string in enumerate(strings[0])
+            ])
+        else:
+            y_hat = np.zeros((len(strings[0]), y_h, y_w, self.M), np.float32)
+            for b, y_string in enumerate(strings[0]):
+                y_hat[b] = self._decompress_ar(y_string, params_hs[b], y_h, y_w, pad)
 
         decode = self._jitted(
             "decode", lambda p, v: self.net.apply(p, v, method=self.net_cls.decode)

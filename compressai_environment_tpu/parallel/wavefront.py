@@ -26,7 +26,12 @@ import numpy as np
 
 from ..layers import causal_mask
 
-__all__ = ["ARWeightsDevice", "wavefront_encode_symbols"]
+__all__ = [
+    "ARWeightsDevice",
+    "wavefront_encode_symbols",
+    "encode_ar_lanes",
+    "wavefront_decode",
+]
 
 _K = 5  # context kernel size
 _PAD = 2
@@ -152,4 +157,298 @@ def wavefront_encode_symbols(y, params_hs, weights: ARWeightsDevice, scale_table
     return _wavefront_encode(
         jnp.asarray(y), jnp.asarray(params_hs), weights.tree(),
         jnp.asarray(scale_table), H, W, M,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lane-parallel AR stream format ("tpu"): one rANS lane per (row, channel)
+# ---------------------------------------------------------------------------
+#
+# Lane (h, c) codes the symbols of channel c along row h, w ascending — the
+# exact order the wavefront decoder consumes them. Escapes are coded in-band
+# as the escape symbol followed by the zigzag-folded residual as two raw
+# 16-bit words (fixed width keeps the vector lanes branch-free; escapes are
+# rare). Container: u32 n | u32 lanes | u32 counts[lanes] | u16 words.
+
+_LANE_L = np.uint32(1 << 16)
+_LANE_MASK = np.uint32(0xFFFF)
+
+
+@partial(jax.jit, static_argnames=("T",))
+def _lane_encode_scan(starts, freqs, esc, raw, T: int):
+    """starts/freqs/esc/raw: (T, L). Per step (reverse order): optionally two
+    PutBits(16) raw words (escape), then the coded symbol."""
+
+    lanes = starts.shape[1]
+    x0 = jnp.full((lanes,), _LANE_L, jnp.uint32)
+
+    def put_bits(x, val16):
+        emit = (x >> np.uint32(16)) >= np.uint32(1)
+        w = (x & _LANE_MASK).astype(jnp.uint32)
+        x = jnp.where(emit, x >> np.uint32(16), x)
+        x = (x << np.uint32(16)) | val16
+        return x, w, emit
+
+    def step(x, inp):
+        start, freq, is_esc, raw_val = inp
+        # reverse of decode order: raw high half, raw low half, then symbol
+        x_hi, w2, e2 = put_bits(x, (raw_val >> np.uint32(16)) & _LANE_MASK)
+        x = jnp.where(is_esc, x_hi, x)
+        w2 = jnp.where(is_esc, w2, 0)
+        e2 = e2 & is_esc
+        x_lo, w1, e1 = put_bits(x, raw_val & _LANE_MASK)
+        x = jnp.where(is_esc, x_lo, x)
+        w1 = jnp.where(is_esc, w1, 0)
+        e1 = e1 & is_esc
+
+        emit = (x >> np.uint32(16)) >= freq
+        w0 = (x & _LANE_MASK).astype(jnp.uint32)
+        x = jnp.where(emit, x >> np.uint32(16), x)
+        q, r = _divmod_u32_u16_wf(x, freq)
+        x = (q << np.uint32(16)) + r + start
+        # decode order within a symbol is: symbol renorm word, then raw lo,
+        # then raw hi (the stream is read in reverse emission order)
+        return x, (jnp.stack([w0, w1, w2]), jnp.stack([emit, e1, e2]))
+
+    x_final, (words, valid) = jax.lax.scan(
+        step, x0, (starts, freqs, esc, raw), reverse=True
+    )
+    # words/valid: (T, 3, L); ascending (t, slot) order equals decode order
+    return words.reshape(T * 3, lanes), valid.reshape(T * 3, lanes), x_final
+
+
+def _divmod_u32_u16_wf(x, freq):
+    from ..entropy.vrans import _divmod_u32_u16
+
+    return _divmod_u32_u16(x, freq)
+
+
+def encode_ar_lanes(symbols, indexes, tables) -> bytes:
+    """Encode wavefront AR symbols (H, W, M) into the lane-parallel format."""
+    H, W, M = symbols.shape
+    lanes = H * M
+    cdfs = tables.quantized_cdf
+    sizes = tables.cdf_length
+    offsets = tables.offset
+
+    sym = np.asarray(symbols, np.int64)
+    idx = np.asarray(indexes, np.int64)
+    max_value = np.asarray(sizes, np.int64)[idx] - 2
+    value = sym - np.asarray(offsets, np.int64)[idx]
+    neg = value < 0
+    over = value >= max_value
+    esc = neg | over
+    raw = np.where(neg, -2 * value - 1, 2 * (value - max_value)).astype(np.uint32)
+    raw = np.where(esc, raw, 0).astype(np.uint32)
+    coded = np.where(esc, max_value, value).astype(np.int32)
+
+    starts = np.asarray(cdfs)[idx, coded].astype(np.uint32)
+    freqs = (np.asarray(cdfs)[idx, coded + 1] - np.asarray(cdfs)[idx, coded]).astype(
+        np.uint32
+    )
+
+    # (H, W, M) -> lane-major (W, H*M): lane = h*M + c, time = w
+    def to_lanes(a):
+        return np.ascontiguousarray(a.transpose(1, 0, 2).reshape(W, lanes))
+
+    words, valid, state = _lane_encode_scan(
+        jnp.asarray(to_lanes(starts)),
+        jnp.asarray(to_lanes(freqs)),
+        jnp.asarray(to_lanes(esc)),
+        jnp.asarray(to_lanes(raw)),
+        W,
+    )
+    words = np.asarray(words).astype(np.uint16)
+    valid = np.asarray(valid)
+    state = np.asarray(state, np.uint32)
+
+    counts = valid.sum(axis=0).astype(np.int64) + 2
+    streams = []
+    for l in range(lanes):
+        lane_words = words[valid[:, l], l]
+        streams.append(
+            np.concatenate([
+                np.array([state[l] & 0xFFFF, state[l] >> 16], dtype=np.uint16),
+                lane_words,
+            ])
+        )
+    stream = np.concatenate(streams)
+
+    header = np.array([H * W * M, lanes], dtype="<u4")
+    return b"".join([
+        header.tobytes(),
+        counts.astype("<u4").tobytes(),
+        stream.astype("<u2").tobytes(),
+    ])
+
+
+def _unpack_ar_blob(blob: bytes, H: int, M: int):
+    header = np.frombuffer(blob[:8], dtype="<u4")
+    n, lanes = int(header[0]), int(header[1])
+    if lanes != H * M:
+        raise ValueError(f"blob lanes {lanes} != H*M {H * M}")
+    off = 8
+    counts = np.frombuffer(blob[off : off + 4 * lanes], dtype="<u4").astype(np.int64)
+    off += 4 * lanes
+    total = int(counts.sum())
+    stream = np.frombuffer(blob[off : off + 2 * total], dtype="<u2")
+
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    x0 = np.empty(lanes, np.uint32)
+    body = counts - 2
+    max_w = max(1, int(body.max()))
+    # pad to the next power of two to bound jit recompilations
+    max_w = 1 << (max_w - 1).bit_length()
+    words = np.zeros((max_w, lanes), np.uint32)
+    for l in range(lanes):
+        s = stream[bounds[l] : bounds[l + 1]]
+        x0[l] = np.uint32(s[0]) | (np.uint32(s[1]) << 16)
+        words[: s.size - 2, l] = s[2:]
+    return x0, words
+
+
+@partial(jax.jit, static_argnames=("H", "W", "M"))
+def _wavefront_decode(x0, words, params_hs, weights, scale_table, lut, cdf,
+                      offsets, max_values, H: int, W: int, M: int):
+    """Lane-parallel AR decode.
+
+    Per wavefront step: active rows compute Gaussian params from the
+    already-decoded context (gather + GEMM), then every (row, channel) lane
+    decodes one symbol from its own rANS stream; escapes trigger a masked
+    two-word raw read. Returns y_hat (H, W, M).
+    """
+    ctx_kernel = weights["ctx_kernel"]
+    ctx_bias = weights["ctx_bias"]
+    ep = weights["ep"]
+    lanes = H * M
+
+    A = min(H, (W + 2) // 3 + 1)
+    T = 3 * (H - 1) + W
+    lane_iota = jnp.arange(lanes)
+    y_hat0 = jnp.zeros((H + 2 * _PAD, W + 2 * _PAD, M), jnp.float32)
+
+    def renorm(x, cursor):
+        need = x < _LANE_L
+        w = words[jnp.minimum(cursor, words.shape[0] - 1), lane_iota]
+        x = jnp.where(need, (x << np.uint32(16)) | w, x)
+        return x, cursor + need.astype(jnp.int32)
+
+    def get_bits16(x, cursor):
+        val = (x & _LANE_MASK).astype(jnp.uint32)
+        x = x >> np.uint32(16)
+        x, cursor = renorm(x, cursor)
+        return val, x, cursor
+
+    def step(t, carry):
+        y_hat, x, cursor = carry
+        h_lo = jnp.maximum(0, (t - W + 3) // 3)
+        hs = h_lo + jnp.arange(A)
+        ws = t - 3 * hs
+        active = (hs < H) & (ws >= 0) & (ws < W)
+        hs_c = jnp.clip(hs, 0, H - 1)
+        ws_c = jnp.clip(ws, 0, W - 1)
+
+        crops = jax.vmap(
+            lambda h, w: jax.lax.dynamic_slice(y_hat, (h, w, 0), (_K, _K, M))
+        )(hs_c, ws_c)
+        ctx = crops.reshape(A, -1) @ ctx_kernel + ctx_bias
+        p = params_hs[hs_c, ws_c]
+        gp = _ep_apply(ep, jnp.concatenate([p, ctx], axis=-1))
+        scales_hat, means_hat = gp[:, :M], gp[:, M:]
+        idx_a = jnp.searchsorted(
+            scale_table[:-1], jnp.maximum(scales_hat, 0.11), side="left"
+        ).astype(jnp.int32)
+
+        # active rows' per-channel CDF indexes -> (lanes,) vectors
+        lane_rows = (
+            jnp.where(active, hs_c, H)[:, None] * M + jnp.arange(M)[None, :]
+        ).reshape(-1)
+        idx_lane = (
+            jnp.zeros((lanes + M,), jnp.int32)
+            .at[lane_rows].set(idx_a.reshape(-1), mode="drop")[:lanes]
+        )
+        lane_active = (
+            jnp.zeros((lanes + M,), bool)
+            .at[lane_rows].set(
+                jnp.repeat(active[:, None], M, axis=1).reshape(-1), mode="drop"
+            )[:lanes]
+        )
+
+        # --- decode one coded symbol per active lane ---
+        cum = (x & _LANE_MASK).astype(jnp.uint32)
+        s = lut[idx_lane, cum.astype(jnp.int32)]
+        start = cdf[idx_lane, s].astype(jnp.uint32)
+        freq = (cdf[idx_lane, s + 1] - cdf[idx_lane, s]).astype(jnp.uint32)
+        start = jnp.where(lane_active, start, jnp.uint32(0))
+        freq = jnp.where(lane_active, freq, _LANE_L)
+
+        x = freq * (x >> np.uint32(16)) + cum - start
+        x, cursor = renorm(x, cursor)
+
+        max_v = max_values[idx_lane]
+        is_esc = lane_active & (s == max_v)
+
+        def esc_branch(args):
+            x_in, cur_in = args
+            lo, x1, cur1 = get_bits16(x_in, cur_in)
+            hi, x2, cur2 = get_bits16(x1, cur1)
+            x_out = jnp.where(is_esc, x2, x_in)
+            cur_out = jnp.where(is_esc, cur2, cur_in)
+            return x_out, cur_out, (hi << np.uint32(16)) | lo
+
+        def no_esc(args):
+            x_in, cur_in = args
+            return x_in, cur_in, jnp.zeros((lanes,), jnp.uint32)
+
+        x, cursor, raw = jax.lax.cond(
+            jnp.any(is_esc), esc_branch, no_esc, (x, cursor)
+        )
+
+        value = s.astype(jnp.int32)
+        esc_val = (raw >> np.uint32(1)).astype(jnp.int32)
+        esc_neg = (raw & np.uint32(1)) == 1
+        value = jnp.where(
+            is_esc, jnp.where(esc_neg, -esc_val - 1, esc_val + max_v), value
+        )
+        symbol = value + offsets[idx_lane]
+
+        recon_rows = symbol.reshape(H, M)[hs_c].astype(jnp.float32) + means_hat
+
+        def write_row(y_hat, i):
+            return jax.lax.cond(
+                active[i],
+                lambda yh: jax.lax.dynamic_update_slice(
+                    yh, recon_rows[i][None, None, :],
+                    (hs_c[i] + _PAD, ws_c[i] + _PAD, 0),
+                ),
+                lambda yh: yh,
+                y_hat,
+            )
+
+        y_hat = jax.lax.fori_loop(0, A, lambda i, yh: write_row(yh, i), y_hat)
+        return y_hat, x, cursor
+
+    y_hat, x, cursor = jax.lax.fori_loop(
+        0, T, step, (y_hat0, x0, jnp.zeros((lanes,), jnp.int32))
+    )
+    return y_hat[_PAD : _PAD + H, _PAD : _PAD + W]
+
+
+def wavefront_decode(blob: bytes, params_hs, weights: ARWeightsDevice, tables,
+                     scale_table, H: int, W: int):
+    """Decode a lane-parallel AR blob to y_hat (H, W, M) on device."""
+    M = weights.M
+    x0, words = _unpack_ar_blob(blob, H, M)
+    max_values = (tables.cdf_length - 2).astype(np.int32)
+    return _wavefront_decode(
+        jnp.asarray(x0),
+        jnp.asarray(words),
+        jnp.asarray(params_hs),
+        weights.tree(),
+        jnp.asarray(scale_table),
+        jnp.asarray(tables.decode_lut),
+        jnp.asarray(tables.quantized_cdf),
+        jnp.asarray(tables.offset),
+        jnp.asarray(max_values),
+        H, W, M,
     )

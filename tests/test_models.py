@@ -140,3 +140,18 @@ class TestAutoregressiveRoundTrip:
         # decode twice: identical output
         d2 = m.decompress(c["strings"], c["shape"])
         np.testing.assert_array_equal(np.asarray(d["x_hat"]), np.asarray(d2["x_hat"]))
+
+
+class TestARTpuFormat:
+    def test_joint_ar_tpu_format_matches_rans(self, image):
+        """The lane-parallel wavefront codec must reconstruct identically to
+        the reference-format serial decoder."""
+        m = _make(JointAutoregressiveHierarchicalPriors, 16, 24)
+        m.update(force=True)
+        ref = m.decompress(**_kw(m.compress(image)))
+        m.stream_format = "tpu"
+        c = m.compress(image)
+        d = m.decompress(c["strings"], c["shape"])
+        np.testing.assert_allclose(
+            np.asarray(d["x_hat"]), np.asarray(ref["x_hat"]), atol=1e-5
+        )

@@ -1,0 +1,58 @@
+"""Lane-parallel AR stream format: encode_ar_lanes + wavefront_decode must
+reproduce the encoder's y_hat exactly, including escape symbols."""
+
+import jax
+import numpy as np
+import pytest
+
+from compressai_environment_tpu.models import JointAutoregressiveHierarchicalPriors
+from compressai_environment_tpu.parallel.wavefront import (
+    ARWeightsDevice,
+    encode_ar_lanes,
+    wavefront_decode,
+    wavefront_encode_symbols,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = JointAutoregressiveHierarchicalPriors(16, 24).init(
+        key=jax.random.key(5), input_shape=(1, 64, 64, 3)
+    )
+    m.update(force=True)
+    return m
+
+
+@pytest.mark.parametrize("H,W,scale", [(4, 4, 2.0), (6, 9, 2.0), (5, 5, 30.0)])
+def test_lane_roundtrip(model, H, W, scale):
+    """scale=30 drives many symbols out of CDF range -> escape path."""
+    rng = np.random.default_rng(7)
+    M = model.M
+    y = (rng.standard_normal((H, W, M)) * scale).astype(np.float32)
+    params_hs = rng.standard_normal((H, W, 2 * M)).astype(np.float32)
+
+    w8 = ARWeightsDevice(model.params, M)
+    tables = model.tables["y"]
+
+    symbols, indexes, y_hat_enc = wavefront_encode_symbols(
+        y, params_hs, w8, model.scale_table
+    )
+    blob = encode_ar_lanes(np.asarray(symbols), np.asarray(indexes), tables)
+
+    y_hat_dec = wavefront_decode(
+        blob, params_hs, w8, tables, model.scale_table, H, W
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_hat_dec), np.asarray(y_hat_enc), atol=1e-5
+    )
+
+
+def test_blob_smaller_than_raw(model):
+    rng = np.random.default_rng(3)
+    H, W, M = 8, 8, model.M
+    y = (rng.standard_normal((H, W, M)) * 0.5).astype(np.float32)
+    params_hs = (rng.standard_normal((H, W, 2 * M)) * 0.1).astype(np.float32)
+    w8 = ARWeightsDevice(model.params, M)
+    symbols, indexes, _ = wavefront_encode_symbols(y, params_hs, w8, model.scale_table)
+    blob = encode_ar_lanes(np.asarray(symbols), np.asarray(indexes), model.tables["y"])
+    assert len(blob) < H * W * M * 4  # beats raw int32 at least
