@@ -41,11 +41,16 @@ import numpy as np
 __all__ = [
     "encode_interleaved",
     "decode_interleaved",
+    "encode_interleaved_batch",
+    "decode_interleaved_batch",
     "build_decode_lut",
     "DEFAULT_LANES",
 ]
 
-DEFAULT_LANES = 256
+# Per-image lane count. The scan's per-step cost is dominated by dispatch
+# overhead, not vector width, so batched entry points fuse all images into
+# one (T, B * DEFAULT_LANES)-wide scan.
+DEFAULT_LANES = 1024
 _PREC = 16
 _L = np.uint32(1 << 16)
 _MASK16 = np.uint32(0xFFFF)
@@ -206,6 +211,179 @@ def _fold_escapes(symbols, indexes, cdfs_sizes, offsets):
     return coded, esc, raw
 
 
+def _prepare_lane_params(symbols, indexes_flat, cdfs, cdfs_sizes, offsets, lanes):
+    """Per-symbol (start, freq) in lane-blocked (T, lanes) layout + raw
+    escapes."""
+    n = indexes_flat.size
+    coded, _, raw = _fold_escapes(symbols, indexes_flat, cdfs_sizes, offsets)
+
+    T = _lane_layout(n, lanes)
+    pad = T * lanes - n
+    starts_flat = cdfs[indexes_flat, coded].astype(np.uint32)
+    freqs_flat = (
+        cdfs[indexes_flat, coded + 1] - cdfs[indexes_flat, coded]
+    ).astype(np.uint32)
+    starts = np.concatenate([starts_flat, np.zeros(pad, np.uint32)])
+    freqs = np.concatenate([freqs_flat, np.full(pad, 1 << 16, np.uint32)])
+    # lane-blocked layout: lane l codes positions [l*T, (l+1)*T)
+    return starts.reshape(lanes, T).T, freqs.reshape(lanes, T).T, raw, T
+
+
+def _pack_blob(n, lanes, raw, counts, per_lane_words) -> bytes:
+    header = np.zeros(3, dtype="<u4")
+    header[0] = n
+    header[1] = lanes
+    header[2] = raw.size
+    return b"".join([
+        header.tobytes(),
+        counts.astype("<u4").tobytes(),
+        np.concatenate(per_lane_words).astype("<u2").tobytes()
+        if per_lane_words else b"",
+        raw.astype("<u4").tobytes(),
+    ])
+
+
+def _pack_from_scan(packed_np, counts, state=None):
+    """Split a (w_cap, L) compacted matrix into per-lane word vectors."""
+    return [packed_np[: counts[l], l] for l in range(packed_np.shape[1])]
+
+
+def encode_interleaved_batch(
+    symbols, indexes, cdfs, cdfs_sizes, offsets, lanes: int = DEFAULT_LANES
+):
+    """Encode (B, n) symbol planes in ONE device scan over B*lanes lanes.
+
+    Returns a list of per-image blobs, byte-identical to calling
+    :func:`encode_interleaved` per image.
+    """
+    cdfs = np.asarray(cdfs, np.int32)
+    cdfs_sizes = np.asarray(cdfs_sizes, np.int32)
+    offsets = np.asarray(offsets, np.int32)
+    symbols = np.asarray(symbols, np.int32)
+    indexes = np.asarray(indexes, np.int32)
+    B, n = symbols.shape
+
+    starts_l, freqs_l, raws = [], [], []
+    for b in range(B):
+        s, f, raw, T = _prepare_lane_params(
+            symbols[b], indexes[b].reshape(-1), cdfs, cdfs_sizes, offsets, lanes
+        )
+        starts_l.append(s)
+        freqs_l.append(f)
+        raws.append(raw)
+    starts = np.concatenate(starts_l, axis=1)  # (T, B*lanes)
+    freqs = np.concatenate(freqs_l, axis=1)
+
+    w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
+    packed, counts, overflow = _encode_scan_packed(
+        jnp.asarray(starts), jnp.asarray(freqs), T, w_cap
+    )
+    if bool(overflow):
+        # pathological stream: fall back to per-image dense path
+        return [
+            encode_interleaved(
+                symbols[b], indexes[b], cdfs, cdfs_sizes, offsets, lanes
+            )
+            for b in range(B)
+        ]
+    packed_np = np.asarray(packed).astype(np.uint16)
+    counts = np.asarray(counts).astype(np.int64)
+
+    blobs = []
+    for b in range(B):
+        sl = slice(b * lanes, (b + 1) * lanes)
+        words = [packed_np[: counts[l], l] for l in range(b * lanes, (b + 1) * lanes)]
+        blobs.append(_pack_blob(n, lanes, raws[b], counts[sl], words))
+    return blobs
+
+
+def decode_interleaved_batch(
+    blobs, indexes, cdfs, cdfs_sizes, offsets, lut=None
+) -> np.ndarray:
+    """Decode B per-image blobs in ONE device scan. indexes: (B, ...)."""
+    cdfs = np.asarray(cdfs, np.int32)
+    cdfs_sizes = np.asarray(cdfs_sizes, np.int32)
+    offsets = np.asarray(offsets, np.int32)
+    indexes = np.asarray(indexes, np.int32)
+    B = len(blobs)
+    shape = indexes.shape
+    n = indexes.reshape(B, -1).shape[1]
+
+    unpacked = [_unpack_blob(blob, n) for blob in blobs]
+    lanes = unpacked[0][0]
+    T = _lane_layout(n, lanes)
+    if any(u[0] != lanes for u in unpacked):
+        raise ValueError("inconsistent lane counts across blobs")
+
+    max_w = max(1, max(int((u[1] - 2).max()) for u in unpacked))
+    max_w = 1 << (max_w - 1).bit_length()  # bound jit recompiles
+    total_lanes = B * lanes
+    x0 = np.empty(total_lanes, np.uint32)
+    words = np.zeros((max_w, total_lanes), np.uint32)
+    for b, (lns, counts, stream, raw) in enumerate(unpacked):
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        for l in range(lanes):
+            s = stream[bounds[l] : bounds[l + 1]]
+            x0[b * lanes + l] = np.uint32(s[0]) | (np.uint32(s[1]) << 16)
+            words[: s.size - 2, b * lanes + l] = s[2:]
+
+    rows_l = []
+    pad_l = []
+    for b in range(B):
+        idx_flat = indexes.reshape(B, -1)[b]
+        pad = T * lanes - n
+        rows = np.concatenate([idx_flat, np.full(pad, -1, np.int32)])
+        rows_l.append(rows.reshape(lanes, T).T)
+        pad_l.append(rows_l[-1] < 0)
+    rows = np.concatenate(rows_l, axis=1)
+    pad_mask = np.concatenate(pad_l, axis=1)
+
+    if lut is None:
+        lut = build_decode_lut(cdfs, cdfs_sizes)
+
+    syms = np.asarray(
+        _decode_scan(
+            jnp.asarray(x0), jnp.asarray(words), jnp.asarray(rows),
+            jnp.asarray(pad_mask), jnp.asarray(lut), jnp.asarray(cdfs), T,
+        )
+    )
+
+    out = np.empty((B, n), np.int32)
+    for b in range(B):
+        coded = syms[:, b * lanes : (b + 1) * lanes].T.reshape(-1)[:n]
+        out[b] = _unfold_escapes(
+            coded, indexes.reshape(B, -1)[b], cdfs_sizes, offsets, unpacked[b][3]
+        )
+    return out.reshape(shape)
+
+
+def _unpack_blob(blob: bytes, n_expected: int):
+    header = np.frombuffer(blob[:12], dtype="<u4")
+    n, lanes, n_raw = int(header[0]), int(header[1] & 0xFFFF), int(header[2])
+    if n != n_expected:
+        raise ValueError(f"blob holds {n} symbols, indexes imply {n_expected}")
+    off = 12
+    counts = np.frombuffer(blob[off : off + 4 * lanes], dtype="<u4").astype(np.int64)
+    off += 4 * lanes
+    total_words = int(counts.sum())
+    stream = np.frombuffer(blob[off : off + 2 * total_words], dtype="<u2")
+    off += 2 * total_words
+    raw = np.frombuffer(blob[off : off + 4 * n_raw], dtype="<u4")
+    return lanes, counts, stream, raw
+
+
+def _unfold_escapes(coded, indexes_flat, cdfs_sizes, offsets, raw):
+    max_value = cdfs_sizes[indexes_flat] - 2
+    esc = coded == max_value
+    values = coded.astype(np.int64)
+    if raw.size:
+        raw_vals = raw[np.cumsum(esc)[esc] - 1].astype(np.int64)
+        dec = raw_vals >> 1
+        dec = np.where(raw_vals & 1, -dec - 1, dec + max_value[esc])
+        values[esc] = dec
+    return (values + offsets[indexes_flat]).astype(np.int32)
+
+
 def encode_interleaved(
     symbols, indexes, cdfs, cdfs_sizes, offsets, lanes: int = DEFAULT_LANES
 ) -> bytes:
@@ -216,20 +394,10 @@ def encode_interleaved(
     indexes_flat = np.asarray(indexes, np.int32).reshape(-1)
     n = indexes_flat.size
 
-    coded, _, raw = _fold_escapes(symbols, indexes_flat, cdfs_sizes, offsets)
-
-    T = _lane_layout(n, lanes)
-    pad = T * lanes - n
-    # per-symbol coding params via table gathers
-    starts_flat = cdfs[indexes_flat, coded].astype(np.uint32)
-    freqs_flat = (
-        cdfs[indexes_flat, coded + 1] - cdfs[indexes_flat, coded]
-    ).astype(np.uint32)
-    starts = np.concatenate([starts_flat, np.zeros(pad, np.uint32)])
-    freqs = np.concatenate([freqs_flat, np.full(pad, 1 << 16, np.uint32)])
-    # lane-blocked layout: lane l codes positions [l*T, (l+1)*T) -> (T, L)
-    starts = starts.reshape(lanes, T).T
-    freqs = freqs.reshape(lanes, T).T
+    starts, freqs, raw, T = _prepare_lane_params(
+        np.asarray(symbols, np.int32).reshape(-1), indexes_flat,
+        cdfs, cdfs_sizes, offsets, lanes,
+    )
 
     # device encode + compaction; w_cap sized for <=~10 bits/symbol with a
     # dense-emission fallback for pathological streams

@@ -117,13 +117,10 @@ def compress_symbols_interleaved(
         raise ValueError("`inputs` and `indexes` should have the same size.")
     lanes = lanes or vrans.DEFAULT_LANES
     batch = symbols.shape[0]
-    return [
-        vrans.encode_interleaved(
-            symbols[b].reshape(-1), indexes[b].reshape(-1),
-            tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
-        )
-        for b in range(batch)
-    ]
+    return vrans.encode_interleaved_batch(
+        symbols.reshape(batch, -1), indexes.reshape(batch, -1),
+        tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
+    )
 
 
 def decompress_symbols_interleaved(
@@ -134,14 +131,11 @@ def decompress_symbols_interleaved(
     tables.validate()
     indexes = np.asarray(indexes)
     batch = indexes.shape[0]
-    out = np.stack([
-        vrans.decode_interleaved(
-            strings[b], indexes[b].reshape(-1),
-            tables.quantized_cdf, tables.cdf_length, tables.offset,
-            lut=tables.decode_lut,
-        )
-        for b in range(batch)
-    ])
+    out = vrans.decode_interleaved_batch(
+        strings, indexes.reshape(batch, -1),
+        tables.quantized_cdf, tables.cdf_length, tables.offset,
+        lut=tables.decode_lut,
+    )
     return out.reshape(indexes.shape)
 
 

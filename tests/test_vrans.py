@@ -86,3 +86,26 @@ class TestInterleavedRoundTrip:
             for cum in (0, 1, 100, 65535):
                 s = lut[i, cum]
                 assert cdfs[i, s] <= cum < cdfs[i, s + 1]
+
+
+class TestBatchedInterleaved:
+    def test_batch_matches_per_image(self, rng):
+        from compressai_environment_tpu.entropy.vrans import (
+            decode_interleaved_batch,
+            encode_interleaved_batch,
+        )
+
+        cdfs, sizes, offsets = _table(rng)
+        B, n, lanes = 3, 4000, 32
+        indexes = rng.integers(0, 8, size=(B, n)).astype(np.int32)
+        symbols = rng.integers(-100, 100, size=(B, n)).astype(np.int32)
+
+        blobs = encode_interleaved_batch(symbols, indexes, cdfs, sizes, offsets, lanes)
+        singles = [
+            encode_interleaved(symbols[b], indexes[b], cdfs, sizes, offsets, lanes)
+            for b in range(B)
+        ]
+        assert blobs == singles
+
+        out = decode_interleaved_batch(blobs, indexes, cdfs, sizes, offsets)
+        np.testing.assert_array_equal(out, symbols)
