@@ -132,6 +132,112 @@ def crop(x: np.ndarray, size) -> np.ndarray:
     return x[:, pt : pt + h, pl : pl + w, :]
 
 
+# -- video encode / decode ---------------------------------------------------
+
+
+def encode_video(input, output, quality, coder, checkpoint=None):
+    """ssf2020 GOP encode of a YUV420 sequence
+    (reference ``codec.py:310-372``)."""
+    from compressai_environment_tpu.datasets.rawvideo import (
+        RawVideoSequence,
+        VideoFormat,
+    )
+    from compressai_environment_tpu.utils.video.eval_model.__main__ import (
+        to_rgb_frame,
+        pad as vpad,
+        write_frame_strings,
+    )
+    from compressai_environment_tpu.zoo import ssf2020
+
+    if Path(input).suffix != ".yuv":
+        raise NotImplementedError(f"Unsupported video file extension: {Path(input).suffix}")
+    org_seq = RawVideoSequence.from_file(input)
+    if org_seq.format != VideoFormat.YUV420:
+        raise NotImplementedError(f"Unsupported video format: {org_seq.format}")
+    bitdepth = org_seq.bitdepth
+    max_val = 2**bitdepth - 1
+    num_frames = org_seq.total_frms
+
+    net = ssf2020(
+        quality, pretrained=checkpoint is None, checkpoint_path=checkpoint
+    )
+    net.update()
+
+    frames = [
+        vpad(to_rgb_frame(org_seq[i], max_val))[0] for i in range(num_frames)
+    ]
+
+    enc_start = time.time()
+    strings, shapes = net.compress(frames)
+    enc_time = time.time() - enc_start
+
+    with Path(output).open("wb") as f:
+        write_uchars(f, (model_ids["ssf2020"], (0 << 4) | ((quality - 1) & 0x0F)))
+        write_uints(f, (num_frames,))
+        write_uints(f, (org_seq.height, org_seq.width))
+        write_uchars(f, (bitdepth,))
+        for i in range(num_frames):
+            if i == 0:
+                write_uints(f, (shapes[0][0], shapes[0][1]))
+            else:
+                write_uints(f, tuple(shapes[i]["motion"]) + tuple(shapes[i]["residual"]))
+            write_frame_strings(f, strings[i])
+
+    size = filesize(output)
+    bpp = float(size) * 8 / (org_seq.height * org_seq.width * num_frames)
+    print(f"{bpp:.3f} bpp | Encoded in {enc_time:.2f}s")
+    org_seq.close()
+    return {"bpp": bpp}
+
+
+def decode_video(input, output, coder, checkpoint=None):
+    from compressai_environment_tpu.utils.video.eval_model.__main__ import (
+        crop as vcrop,
+        pad as vpad,
+        read_frame_strings,
+        to_yuv420,
+    )
+    from compressai_environment_tpu.zoo import ssf2020
+
+    dec_start = time.time()
+    with Path(input).open("rb") as f:
+        model_id, code = read_uchars(f, 2)
+        quality = (code & 0x0F) + 1
+        (num_frames,) = read_uints(f, 1)
+        original_size = read_uints(f, 2)
+        (bitdepth,) = read_uchars(f, 1)
+        strings, shapes = [], []
+        for i in range(num_frames):
+            if i == 0:
+                shapes.append(tuple(read_uints(f, 2)))
+            else:
+                v = read_uints(f, 4)
+                shapes.append({"motion": v[:2], "residual": v[2:]})
+            strings.append(read_frame_strings(f, None))
+
+    net = ssf2020(
+        quality, pretrained=checkpoint is None, checkpoint_path=checkpoint
+    )
+    net.update()
+    dec_frames = net.decompress(strings, shapes)
+
+    # recover padding geometry from the original size
+    probe = np.zeros((1, original_size[0], original_size[1], 3), np.float32)
+    _, padding = vpad(probe)
+
+    max_val = 2**bitdepth - 1
+    dtype = np.uint8 if bitdepth == 8 else np.uint16
+    if output is not None:
+        with Path(output).open("wb") as fout:
+            for fr in dec_frames:
+                rgb = vcrop(np.asarray(fr), padding)
+                y, u, v = to_yuv420(np.clip(rgb, 0, 1))
+                for plane in (y, u, v):
+                    (np.clip(plane[0], 0, 1) * max_val).round().astype(dtype).tofile(fout)
+    print(f"Decoded in {time.time() - dec_start:.2f}s")
+    return dec_frames
+
+
 # -- image encode / decode ---------------------------------------------------
 
 def encode_image(input, output, model, metric, quality, coder, checkpoint=None):
@@ -196,7 +302,7 @@ def main(argv):
     enc.add_argument("input")
     enc.add_argument("-o", "--output", default="out.bin")
     enc.add_argument("-m", "--model", default="bmshj2018-factorized",
-                     choices=list(image_models.keys()))
+                     choices=list(zoo_models.keys()))
     enc.add_argument("-M", "--metric", default="mse", choices=["mse", "ms-ssim"])
     enc.add_argument("-q", "--quality", type=int, default=1)
     enc.add_argument("-c", "--coder", default="ans")
@@ -211,10 +317,19 @@ def main(argv):
 
     args = parser.parse_args(argv)
     if args.command == "encode":
-        encode_image(args.input, args.output, args.model, args.metric,
-                     args.quality, args.coder, args.checkpoint)
+        if args.model == "ssf2020" or Path(args.input).suffix == ".yuv" and args.model == "ssf2020":
+            encode_video(args.input, args.output, args.quality, args.coder,
+                         args.checkpoint)
+        else:
+            encode_image(args.input, args.output, args.model, args.metric,
+                         args.quality, args.coder, args.checkpoint)
     else:
-        decode_image(args.input, args.output, args.coder, args.checkpoint)
+        with Path(args.input).open("rb") as f:
+            model_id = read_uchars(f, 1)[0]
+        if inverse_dict(model_ids)[model_id] == "ssf2020":
+            decode_video(args.input, args.output, args.coder, args.checkpoint)
+        else:
+            decode_image(args.input, args.output, args.coder, args.checkpoint)
 
 
 if __name__ == "__main__":

@@ -145,3 +145,51 @@ def test_codec_cli_roundtrip(fake_dataset, exported_checkpoint, tmp_path):
     ])
     assert hashlib.md5(bin_path.read_bytes()).hexdigest() == \
         hashlib.md5(bin2.read_bytes()).hexdigest()
+
+
+def test_codec_cli_video_roundtrip(tmp_path):
+    """ssf2020 video encode/decode through the binary container."""
+    import importlib.util
+
+    import jax
+
+    from compressai_environment_tpu.models.video import ScaleSpaceFlow
+    from compressai_environment_tpu.utils.checkpoint import save_checkpoint
+
+    m = ScaleSpaceFlow().init(key=jax.random.key(0), input_shape=(1, 128, 128, 3))
+    m.update(force=True)
+    ckpt = tmp_path / "ssf.msgpack"
+    save_checkpoint(m, ckpt, architecture="ssf2020")
+
+    # 2-frame 128x128 YUV420 clip
+    rng = np.random.default_rng(0)
+    w = h = 128
+    data = []
+    for _ in range(2):
+        data.append(np.kron(rng.integers(40, 215, (h // 8, w // 8)),
+                            np.ones((8, 8))).astype(np.uint8).ravel())
+        data.append(np.kron(rng.integers(100, 155, (h // 16, w // 16)),
+                            np.ones((8, 8))).astype(np.uint8).ravel())
+        data.append(np.kron(rng.integers(100, 155, (h // 16, w // 16)),
+                            np.ones((8, 8))).astype(np.uint8).ravel())
+    clip = tmp_path / f"clip_{w}x{h}_25Hz_8bit_P420.yuv"
+    np.concatenate(data).tofile(clip)
+
+    spec = importlib.util.spec_from_file_location(
+        "codec_example", REPO / "examples" / "codec.py"
+    )
+    codec = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(codec)
+
+    bin_path = tmp_path / "vid.bin"
+    out_yuv = tmp_path / "dec.yuv"
+    codec.main([
+        "encode", str(clip), "-o", str(bin_path), "-m", "ssf2020",
+        "-q", "1", "--checkpoint", str(ckpt),
+    ])
+    assert bin_path.stat().st_size > 10
+    codec.main([
+        "decode", str(bin_path), "-o", str(out_yuv), "--checkpoint", str(ckpt),
+    ])
+    # decoded file has same size as the original clip
+    assert out_yuv.stat().st_size == clip.stat().st_size
