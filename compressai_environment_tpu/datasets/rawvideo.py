@@ -188,6 +188,7 @@ class RawVideoSequence(Sequence[np.ndarray]):
         self.total_frms = get_num_frms(
             mmap.size, width, height, self.format, value_type
         )
+        self._path = getattr(mmap, "filename", None)
 
     @classmethod
     def new_like(cls, sequence: "RawVideoSequence", filename: str) -> "RawVideoSequence":

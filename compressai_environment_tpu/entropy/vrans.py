@@ -172,6 +172,93 @@ def _decode_scan(x0, words, rows, pad_mask, lut, cdf, T: int):
     return syms
 
 
+@partial(jax.jit, static_argnames=("T", "lanes", "w_cap", "raw_cap"))
+def _encode_device_core(symbols, indexes, cdf, sizes, offsets,
+                        T: int, lanes: int, w_cap: int, raw_cap: int):
+    """Fully on-device encode prep + scan + compaction.
+
+    symbols/indexes: (B, n) int32 device arrays. Returns
+    (packed uint16 (w_cap, B*lanes), counts, overflow,
+     raw (B, raw_cap) uint32, raw_counts (B,), raw_overflow).
+    """
+    B, n = symbols.shape
+    idx = indexes
+    maxv = sizes[idx] - 2
+    value = symbols - offsets[idx]
+    neg = value < 0
+    over = value >= maxv
+    esc = neg | over
+    raw = jnp.where(
+        neg, (-2 * value - 1), 2 * (value - maxv)
+    ).astype(jnp.uint32)
+    coded = jnp.where(esc, maxv, value)
+
+    starts = cdf[idx, coded].astype(jnp.uint32)
+    freqs = (cdf[idx, coded + 1] - cdf[idx, coded]).astype(jnp.uint32)
+
+    # raw side channel: compact escapes per image (symbol order)
+    pos = jnp.cumsum(esc, axis=1) - 1
+    raw_counts = jnp.sum(esc, axis=1)
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], esc.shape)
+    raw_buf = jnp.zeros((B, raw_cap + 1), jnp.uint32)
+    raw_buf = raw_buf.at[
+        rows, jnp.where(esc, jnp.minimum(pos, raw_cap), raw_cap)
+    ].set(jnp.where(esc, raw, 0), mode="drop")
+    raw_overflow = jnp.any(raw_counts > raw_cap)
+
+    pad = T * lanes - n
+
+    def lane_layout(a, padval):
+        a = jnp.concatenate(
+            [a, jnp.full((B, pad), padval, a.dtype)], axis=1
+        )
+        # lane-blocked per image; columns ordered [b * lanes + l]
+        return a.reshape(B, lanes, T).transpose(2, 0, 1).reshape(T, B * lanes)
+
+    starts_tl = lane_layout(starts, jnp.uint32(0))
+    freqs_tl = lane_layout(freqs, jnp.uint32(1 << 16))
+
+    packed, counts, overflow = _encode_scan_packed(starts_tl, freqs_tl, T, w_cap)
+    return (
+        packed.astype(jnp.uint16), counts, overflow,
+        raw_buf[:, :raw_cap], raw_counts, raw_overflow,
+    )
+
+
+@partial(jax.jit, static_argnames=("T", "lanes"))
+def _decode_device_core(x0, words_u16, indexes, raw, raw_counts, lut, cdf,
+                        sizes, offsets, T: int, lanes: int):
+    """Fully on-device decode: scan + escape unfolding.
+
+    indexes: (B, n) int32; words_u16: (W, B*lanes) uint16. Returns symbols
+    (B, n) int32 on device.
+    """
+    B, n = indexes.shape
+    pad = T * lanes - n
+
+    def lane_layout(a, padval):
+        a = jnp.concatenate([a, jnp.full((B, pad), padval, a.dtype)], axis=1)
+        return a.reshape(B, lanes, T).transpose(2, 0, 1).reshape(T, B * lanes)
+
+    rows = lane_layout(indexes, jnp.int32(-1))
+    pad_mask = rows < 0
+    words = words_u16.astype(jnp.uint32)
+
+    syms = _decode_scan(x0, words, rows, pad_mask, lut, cdf, T)
+    # (T, B*lanes) -> (B, n)
+    coded = syms.reshape(T, B, lanes).transpose(1, 2, 0).reshape(B, lanes * T)[:, :n]
+
+    maxv = sizes[indexes] - 2
+    esc = coded == maxv
+    pos = jnp.cumsum(esc, axis=1) - 1
+    rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], esc.shape)
+    raw_vals = raw[rows_b, jnp.clip(pos, 0, raw.shape[1] - 1)]
+    dec = (raw_vals >> np.uint32(1)).astype(jnp.int32)
+    dec = jnp.where((raw_vals & np.uint32(1)) == 1, -dec - 1, dec + maxv)
+    values = jnp.where(esc, dec, coded)
+    return (values + offsets[indexes]).astype(jnp.int32)
+
+
 def build_decode_lut(quantized_cdf: np.ndarray, cdf_length: np.ndarray) -> np.ndarray:
     """(nrows, 65536) int32: cumulative frequency -> symbol, per CDF row."""
     n, _ = quantized_cdf.shape
@@ -513,3 +600,99 @@ def decode_interleaved(
         values[esc] = dec
     out = (values + offsets[indexes_flat]).astype(np.int32)
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident batch API: symbols stay on device; only entropy-sized
+# packed streams cross the host boundary.
+# ---------------------------------------------------------------------------
+
+
+def encode_batch_device(symbols_dev, indexes_dev, tables, lanes: int = DEFAULT_LANES):
+    """Encode (B, n) device symbol/index arrays into per-image blobs.
+
+    Byte-identical to :func:`encode_interleaved_batch` on the same inputs.
+    """
+    B, n = symbols_dev.shape
+    T = _lane_layout(n, lanes)
+    w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
+    raw_cap = max(256, n // 32)
+    dev = tables.device
+
+    packed, counts, overflow, raw, raw_counts, raw_ovf = _encode_device_core(
+        symbols_dev, indexes_dev, dev["cdf"], dev["sizes"], dev["offsets"],
+        T, lanes, w_cap, raw_cap,
+    )
+    if bool(overflow) or bool(raw_ovf):
+        # pathological stream: host fallback
+        return encode_interleaved_batch(
+            np.asarray(symbols_dev), np.asarray(indexes_dev),
+            tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
+        )
+
+    packed_np = np.asarray(packed)  # (w_cap, B*lanes) uint16
+    counts_np = np.asarray(counts).astype(np.int64)
+    raw_np = np.asarray(raw)
+    raw_counts_np = np.asarray(raw_counts).astype(np.int64)
+
+    # vectorized per-lane trim: column-major mask selection keeps per-lane
+    # words contiguous in ascending order
+    mask = np.arange(w_cap)[:, None] < counts_np[None, :]
+    flat = packed_np.T[mask.T]  # concatenated per-lane words, lane-major
+
+    lane_bounds = np.concatenate([[0], np.cumsum(counts_np)])
+    blobs = []
+    for b in range(B):
+        lo = lane_bounds[b * lanes]
+        hi = lane_bounds[(b + 1) * lanes]
+        header = np.array([n, lanes, raw_counts_np[b]], dtype="<u4")
+        blobs.append(b"".join([
+            header.tobytes(),
+            counts_np[b * lanes : (b + 1) * lanes].astype("<u4").tobytes(),
+            flat[lo:hi].astype("<u2").tobytes(),
+            raw_np[b, : raw_counts_np[b]].astype("<u4").tobytes(),
+        ]))
+    return blobs
+
+
+def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None):
+    """Decode per-image blobs to a (B, n) int32 symbol array ON DEVICE."""
+    indexes_dev = jnp.asarray(indexes_dev)
+    B, n = indexes_dev.shape
+    unpacked = [_unpack_blob(blob, n) for blob in blobs]
+    lanes = unpacked[0][0]
+    T = _lane_layout(n, lanes)
+    total_lanes = B * lanes
+
+    counts_all = np.concatenate([u[1] for u in unpacked])
+    body = counts_all - 2
+    max_w = max(1, int(body.max()))
+    max_w = 1 << (max_w - 1).bit_length()
+
+    # vectorized unpack of all lanes into (max_w, B*lanes) + init states
+    stream_all = np.concatenate([u[2] for u in unpacked])
+    bounds = np.concatenate([[0], np.cumsum(counts_all)])[:-1]
+    x0 = (
+        stream_all[bounds].astype(np.uint32)
+        | (stream_all[bounds + 1].astype(np.uint32) << 16)
+    )
+    total_body = int(body.sum())
+    lane_of = np.repeat(np.arange(total_lanes), body)
+    j_of = np.arange(total_body) - np.repeat(np.cumsum(body) - body, body)
+    src = np.repeat(bounds + 2, body) + j_of
+    words = np.zeros((max_w, total_lanes), np.uint16)
+    words[j_of, lane_of] = stream_all[src]
+
+    raw_cap = max(1, max(int(u[3].size) for u in unpacked))
+    raw = np.zeros((B, raw_cap), np.uint32)
+    raw_counts = np.zeros(B, np.int64)
+    for b, u in enumerate(unpacked):
+        raw[b, : u[3].size] = u[3]
+        raw_counts[b] = u[3].size
+
+    dev = tables.device
+    return _decode_device_core(
+        jnp.asarray(x0), jnp.asarray(words), indexes_dev,
+        jnp.asarray(raw), jnp.asarray(raw_counts),
+        dev["lut"], dev["cdf"], dev["sizes"], dev["offsets"], T, lanes,
+    )

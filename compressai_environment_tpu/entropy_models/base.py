@@ -65,6 +65,22 @@ class CdfTables:
             object.__setattr__(self, "_decode_lut", lut)
         return lut
 
+    @property
+    def device(self) -> dict:
+        """Cached device copies (jnp arrays) of the tables (+ decode LUT)."""
+        dev = getattr(self, "_device_arrays", None)
+        if dev is None:
+            import jax.numpy as jnp
+
+            dev = {
+                "cdf": jnp.asarray(self.quantized_cdf),
+                "sizes": jnp.asarray(self.cdf_length),
+                "offsets": jnp.asarray(self.offset),
+                "lut": jnp.asarray(self.decode_lut),
+            }
+            object.__setattr__(self, "_device_arrays", dev)
+        return dev
+
     def validate(self):
         if self.quantized_cdf.size == 0:
             raise ValueError("Uninitialized CDFs. Run update() first")

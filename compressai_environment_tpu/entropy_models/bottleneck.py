@@ -197,29 +197,53 @@ def _spatial_indexes(shape, channels) -> np.ndarray:
     return np.broadcast_to(idx, shape)
 
 
-def compress(x: np.ndarray, medians: np.ndarray, tables: CdfTables, fmt: str = "rans"):
-    """x: (B, ..., C) latent; medians: (C,). Returns list of strings.
+def compress(x, medians: np.ndarray, tables: CdfTables, fmt: str = "rans"):
+    """x: (B, ..., C) latent (numpy or device array); medians: (C,).
+    Returns list of strings.
 
     fmt: "rans" (reference-bit-exact single stream) or "tpu" (interleaved
-    lanes, coded on device).
+    lanes; quantization, escape folding and coding all happen on device).
     """
+    if fmt == "tpu":
+        from ..entropy import vrans
+
+        x = jnp.asarray(x)
+        b, c = x.shape[0], x.shape[-1]
+        symbols = jnp.round(
+            x - jnp.asarray(medians).reshape(-1)
+        ).astype(jnp.int32).reshape(b, -1)
+        indexes = jnp.broadcast_to(
+            jnp.arange(c, dtype=jnp.int32), x.shape
+        ).reshape(b, -1)
+        return vrans.encode_batch_device(symbols, indexes, tables)
+
     x = np.asarray(x)
     c = x.shape[-1]
     symbols = np.round(x - medians.reshape(-1)).astype(np.int32)
     indexes = _spatial_indexes(x.shape, c)
-    if fmt == "tpu":
-        return compress_symbols_interleaved(symbols, indexes, tables)
     return compress_symbols(symbols, indexes, tables)
 
 
 def decompress(strings, spatial_shape, medians: np.ndarray, tables: CdfTables,
                fmt: str = "rans"):
-    """Inverse of :func:`compress`; returns (B, *spatial_shape, C) float32."""
+    """Inverse of :func:`compress`; returns (B, *spatial_shape, C) float32.
+
+    The "tpu" path decodes on device and returns a device array (no host
+    round trip before the synthesis transform)."""
     c = tables.num_cdfs
     out_shape = (len(strings),) + tuple(spatial_shape) + (c,)
-    indexes = _spatial_indexes(out_shape, c)
     if fmt == "tpu":
-        symbols = decompress_symbols_interleaved(strings, indexes, tables)
-    else:
-        symbols = decompress_symbols(strings, indexes, tables)
+        from ..entropy import vrans
+
+        b = len(strings)
+        indexes = jnp.broadcast_to(
+            jnp.arange(c, dtype=jnp.int32), out_shape
+        ).reshape(b, -1)
+        symbols = vrans.decode_batch_device(strings, indexes, tables)
+        return (
+            symbols.reshape(out_shape).astype(jnp.float32)
+            + jnp.asarray(medians, jnp.float32).reshape(-1)
+        )
+    indexes = _spatial_indexes(out_shape, c)
+    symbols = decompress_symbols(strings, indexes, tables)
     return symbols.astype(np.float32) + np.asarray(medians, np.float32).reshape(-1)

@@ -143,23 +143,41 @@ def build_tables(scale_table, tail_mass: float = 1e-9) -> CdfTables:
     return CdfTables(quantized_cdf, pmf_length + 2, -pmf_center)
 
 
-def compress(inputs: np.ndarray, indexes: np.ndarray, tables: CdfTables, means=None,
-             fmt: str = "rans"):
-    """Quantize to symbols and encode; inputs/indexes: (B, ...)."""
+def compress(inputs, indexes, tables: CdfTables, means=None, fmt: str = "rans"):
+    """Quantize to symbols and encode; inputs/indexes: (B, ...).
+
+    "tpu": quantization and coding run on device from device arrays."""
+    if fmt == "tpu":
+        from ..entropy import vrans
+
+        inputs = jnp.asarray(inputs)
+        b = inputs.shape[0]
+        values = inputs - jnp.asarray(means) if means is not None else inputs
+        symbols = jnp.round(values).astype(jnp.int32).reshape(b, -1)
+        idx = jnp.asarray(indexes).reshape(b, -1)
+        return vrans.encode_batch_device(symbols, idx, tables)
+
     inputs = np.asarray(inputs)
     values = inputs - np.asarray(means) if means is not None else inputs
     symbols = np.round(values).astype(np.int32)
-    if fmt == "tpu":
-        return compress_symbols_interleaved(symbols, np.asarray(indexes), tables)
     return compress_symbols(symbols, np.asarray(indexes), tables)
 
 
-def decompress(strings, indexes: np.ndarray, tables: CdfTables, means=None,
+def decompress(strings, indexes, tables: CdfTables, means=None,
                fmt: str = "rans"):
+    """"tpu": decodes on device and returns a device array."""
     if fmt == "tpu":
-        symbols = decompress_symbols_interleaved(strings, np.asarray(indexes), tables)
-    else:
-        symbols = decompress_symbols(strings, np.asarray(indexes), tables)
+        from ..entropy import vrans
+
+        idx = jnp.asarray(indexes)
+        b = idx.shape[0]
+        symbols = vrans.decode_batch_device(
+            strings, idx.reshape(b, -1), tables
+        ).reshape(idx.shape)
+        if means is not None:
+            return symbols.astype(jnp.float32) + jnp.asarray(means, jnp.float32)
+        return symbols.astype(jnp.float32)
+    symbols = decompress_symbols(strings, np.asarray(indexes), tables)
     if means is not None:
         return symbols.astype(np.float32) + np.asarray(means, np.float32)
     return symbols.astype(np.float32)

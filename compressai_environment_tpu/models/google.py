@@ -98,11 +98,11 @@ class FactorizedPrior(CompressionModel):
         encode = self._jitted(
             "encode", lambda p, v: self.net.apply(p, v, method=FactorizedPriorNet.encode)
         )
-        y = np.asarray(encode({"params": self.params}, x))
+        y = encode({"params": self.params}, x)
         y_strings = eb_ops.compress(
             y, self._medians(), self.tables["y"], fmt=self.stream_format
         )
-        return {"strings": [y_strings], "shape": y.shape[1:3]}
+        return {"strings": [y_strings], "shape": tuple(y.shape[1:3])}
 
     def decompress(self, strings, shape):
         assert isinstance(strings, list) and len(strings) == 1
@@ -211,7 +211,6 @@ class ScaleHyperprior(CompressionModel):
             "encode", lambda p, v: self.net.apply(p, v, method=self.net_cls.encode)
         )
         y, z = encode({"params": self.params}, x)
-        y, z = np.asarray(y), np.asarray(z)
 
         z_strings = eb_ops.compress(
             z, self._medians(), self.tables["z"], fmt=self.stream_format
@@ -232,9 +231,9 @@ class ScaleHyperprior(CompressionModel):
         indexes, means = self._indexes_and_means(out)
 
         y_strings = gc_ops.compress(
-            y, np.asarray(indexes), self.tables["y"], means, fmt=self.stream_format
+            y, indexes, self.tables["y"], means, fmt=self.stream_format
         )
-        return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
+        return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
 
     def decompress(self, strings, shape):
         assert isinstance(strings, list) and len(strings) == 2
@@ -250,7 +249,7 @@ class ScaleHyperprior(CompressionModel):
         out = hyper({"params": self.params}, jnp.asarray(z_hat))
         indexes, means = self._indexes_and_means(out)
         y_hat = gc_ops.decompress(
-            strings[0], np.asarray(indexes), self.tables["y"], means,
+            strings[0], indexes, self.tables["y"], means,
             fmt=self.stream_format,
         )
         decode = self._jitted(
@@ -307,4 +306,4 @@ class MeanScaleHyperprior(ScaleHyperprior):
     def _indexes_and_means(self, hyper_out):
         scales_hat, means_hat = jnp.split(hyper_out, 2, axis=-1)
         indexes = build_indexes(scales_hat, jnp.asarray(self.scale_table))
-        return indexes, np.asarray(means_hat)
+        return indexes, means_hat

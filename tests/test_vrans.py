@@ -109,3 +109,32 @@ class TestBatchedInterleaved:
 
         out = decode_interleaved_batch(blobs, indexes, cdfs, sizes, offsets)
         np.testing.assert_array_equal(out, symbols)
+
+
+class TestDeviceResidentAPI:
+    def test_device_encode_matches_host(self, rng):
+        import jax.numpy as jnp
+
+        from compressai_environment_tpu.entropy_models import CdfTables
+        from compressai_environment_tpu.entropy.vrans import (
+            decode_batch_device,
+            encode_batch_device,
+            encode_interleaved_batch,
+        )
+
+        cdfs, sizes, offsets = _table(rng)
+        tables = CdfTables(cdfs, sizes, offsets)
+        B, n, lanes = 2, 3000, 64
+        indexes = rng.integers(0, 8, size=(B, n)).astype(np.int32)
+        symbols = rng.integers(-100, 100, size=(B, n)).astype(np.int32)
+
+        dev_blobs = encode_batch_device(
+            jnp.asarray(symbols), jnp.asarray(indexes), tables, lanes
+        )
+        host_blobs = encode_interleaved_batch(
+            symbols, indexes, cdfs, sizes, offsets, lanes
+        )
+        assert dev_blobs == host_blobs
+
+        out = decode_batch_device(dev_blobs, jnp.asarray(indexes), tables)
+        np.testing.assert_array_equal(np.asarray(out), symbols)
