@@ -32,11 +32,15 @@ def main():
     model.stream_format = "tpu"  # interleaved-lane on-chip coder
 
     rng = np.random.default_rng(0)
-    # smooth, image-like content: random low-frequency fields
+    # smooth, image-like content: random low-frequency fields; uint8 like a
+    # real decoded image buffer (scaled to [0,1] on device)
     base = rng.random((n_images, h // 16, w // 16, 3), dtype=np.float32)
-    x = np.clip(
-        np.stack([np.kron(b, np.ones((16, 16, 1), np.float32)) for b in base]), 0, 1
-    )
+    x = (
+        np.clip(
+            np.stack([np.kron(b, np.ones((16, 16, 1), np.float32)) for b in base]),
+            0, 1,
+        ) * 255
+    ).round().astype(np.uint8)
 
     # warmup (compile at the exact benchmark shapes)
     c = model.compress(x)

@@ -93,7 +93,13 @@ class CompressionModel:
 
     @staticmethod
     def _nhwc(x) -> jnp.ndarray:
-        x = jnp.asarray(x, jnp.float32)
+        """Accepts float [0, 1] or uint8 [0, 255] input; uint8 is uploaded
+        as-is (4x less host->device traffic) and scaled on device."""
+        if hasattr(x, "dtype") and np.dtype(x.dtype) == np.uint8:
+            x = jnp.asarray(x)
+            x = x.astype(jnp.float32) / 255.0
+        else:
+            x = jnp.asarray(x, jnp.float32)
         if x.ndim != 4:
             raise ValueError("expected (B, H, W, C) input")
         return x

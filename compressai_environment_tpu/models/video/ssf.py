@@ -457,13 +457,14 @@ class ScaleSpaceFlow(CompressionModel):
         y_tab = self.tables[f"{branch}_y"]
         medians = self._eb_medians(branch)
 
-        z_string = eb_ops.compress(z, medians, z_tab)
-        z_hat = eb_ops.decompress(z_string, z.shape[1:3], medians, z_tab)
+        fmt = self.stream_format
+        z_string = eb_ops.compress(z, medians, z_tab, fmt=fmt)
+        z_hat = eb_ops.decompress(z_string, z.shape[1:3], medians, z_tab, fmt=fmt)
 
         scales, means = self._run(f"{branch}_hyper_params", jnp.asarray(z_hat))
-        indexes = np.asarray(build_indexes(scales, jnp.asarray(self.scale_table)))
+        indexes = build_indexes(scales, jnp.asarray(self.scale_table))
         means = np.asarray(means)
-        y_string = gc_ops.compress(y, indexes, y_tab, means)
+        y_string = gc_ops.compress(y, indexes, y_tab, means, fmt=fmt)
         y_hat = np.round(y - means) + means
         return jnp.asarray(y_hat), {
             "strings": [y_string, z_string],
@@ -474,10 +475,11 @@ class ScaleSpaceFlow(CompressionModel):
         z_tab = self.tables[f"{branch}_z"]
         y_tab = self.tables[f"{branch}_y"]
         medians = self._eb_medians(branch)
-        z_hat = eb_ops.decompress(strings[1], tuple(shape), medians, z_tab)
+        fmt = self.stream_format
+        z_hat = eb_ops.decompress(strings[1], tuple(shape), medians, z_tab, fmt=fmt)
         scales, means = self._run(f"{branch}_hyper_params", jnp.asarray(z_hat))
-        indexes = np.asarray(build_indexes(scales, jnp.asarray(self.scale_table)))
-        y_hat = gc_ops.decompress(strings[0], indexes, y_tab, np.asarray(means))
+        indexes = build_indexes(scales, jnp.asarray(self.scale_table))
+        y_hat = gc_ops.decompress(strings[0], indexes, y_tab, np.asarray(means), fmt=fmt)
         return jnp.asarray(y_hat)
 
     # -- codec surface ----------------------------------------------------

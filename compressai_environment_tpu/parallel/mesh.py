@@ -137,3 +137,20 @@ def _tp_shardable(shape, tp: int) -> bool:
         and shape[-1] >= _TP_MIN_FEATURES
         and shape[-1] % tp == 0
     )
+
+
+def compress_data_parallel(model, x, mesh: Mesh):
+    """Data-parallel codec run: shard the image batch over every device in
+    the mesh and run the model's compress path. With ``stream_format="tpu"``
+    the transforms AND the interleaved-rANS scan run SPMD across the mesh
+    (the lane axis of the scan carries the batch sharding); per-image
+    bitstreams come back in batch order, so the gathered list is
+    deterministic for any mesh shape."""
+    xs = shard_batch(x, mesh)
+    return model.compress(xs)
+
+
+def decompress_data_parallel(model, strings, shape, mesh: Mesh):
+    """Counterpart of :func:`compress_data_parallel`; decoded images are
+    device-resident and sharded over dp."""
+    return model.decompress(strings, shape)
