@@ -59,6 +59,28 @@ def main():
     enc_t, dec_t = t1 - t0, t2 - t1
     mbps = total_mb / (enc_t + dec_t)
 
+    # autoregressive model (mbt2018) single-image wavefront timings
+    from compressai_environment_tpu.models import (
+        JointAutoregressiveHierarchicalPriors,
+    )
+
+    ar = JointAutoregressiveHierarchicalPriors(192, 192).init(
+        key=jax.random.key(1), input_shape=(1, h, w, 3)
+    )
+    ar.update(force=True)
+    ar.stream_format = "tpu"
+    xa = x[:1]
+    ca = ar.compress(xa)
+    da = ar.decompress(ca["strings"], ca["shape"])
+    jax.block_until_ready(da["x_hat"])
+    t0 = time.perf_counter()
+    ca = ar.compress(xa)
+    t1 = time.perf_counter()
+    da = ar.decompress(ca["strings"], ca["shape"])
+    jax.block_until_ready(da["x_hat"])
+    t2 = time.perf_counter()
+    ar_enc, ar_dec = t1 - t0, t2 - t1
+
     print(
         json.dumps(
             {
@@ -73,6 +95,9 @@ def main():
                     "mean_bpp": round(
                         sum(len(s) for s in c["strings"][0]) * 8 / (n_images * h * w), 4
                     ),
+                    "mbt2018_ar_encode_s_per_img": round(ar_enc, 3),
+                    "mbt2018_ar_decode_s_per_img": round(ar_dec, 3),
+                    "mbt2018_ref_cuda_enc_dec_s": [2.7, 5.9],
                 },
             }
         )
