@@ -86,6 +86,10 @@ class CompressionModel:
     def downsampling_factor(self) -> int:
         return 2**4
 
+    def downsampling_factor_ga(self) -> int:
+        """Spatial factor of the analysis transform alone (x -> y)."""
+        return 16
+
     def _require_tables(self, *names):
         for n in names:
             if n not in self.tables:

@@ -62,6 +62,12 @@ class FactorizedPriorNet(nn.Module):
     def decode(self, y_hat):
         return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
 
+    def analysis(self, x):
+        return self.g_a(x)
+
+    def synthesis(self, y_hat):
+        return self.g_s(y_hat)
+
     def eb_medians(self):
         return self.entropy_bottleneck.medians()
 
@@ -157,6 +163,12 @@ class ScaleHyperpriorNet(nn.Module):
 
     def decode(self, y_hat):
         return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
+
+    def analysis(self, x):
+        return self.g_a(x)
+
+    def synthesis(self, y_hat):
+        return self.g_s(y_hat)
 
     def eb_medians(self):
         return self.entropy_bottleneck.medians()
