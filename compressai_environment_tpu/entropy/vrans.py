@@ -112,6 +112,20 @@ def _encode_scan(starts, freqs, T: int):
     return words, valid, x_final
 
 
+def _encode_scan_dispatch(starts, freqs, T: int):
+    """Choose the encode-scan backend: the Pallas TPU kernel when opted in
+    (COMPRESSAI_TPU_PALLAS=1) and verified on this backend, else lax.scan.
+    Both are bit-identical (tested)."""
+    import os
+
+    if os.environ.get("COMPRESSAI_TPU_PALLAS") == "1":
+        from .pallas_rans import encode_scan_pallas, pallas_available
+
+        if starts.shape[1] % 128 == 0 and pallas_available():
+            return encode_scan_pallas(starts, freqs)
+    return _encode_scan(starts, freqs, T)
+
+
 @partial(jax.jit, static_argnames=("T", "w_cap"))
 def _encode_scan_packed(starts, freqs, T: int, w_cap: int):
     """Encode + on-device stream compaction.
@@ -122,7 +136,7 @@ def _encode_scan_packed(starts, freqs, T: int, w_cap: int):
     (T, L) emission matrix.
     """
     lanes = starts.shape[1]
-    words, valid, state = _encode_scan(starts, freqs, T)
+    words, valid, state = _encode_scan_dispatch(starts, freqs, T)
 
     pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
     rows_idx = jnp.where(valid, pos + 2, w_cap)  # invalid -> dumped row
