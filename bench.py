@@ -22,6 +22,11 @@ BASELINE_MBPS = 1.18 / 1.6  # reference enc+dec MB/s per image slot
 def main():
     import jax
 
+    # persistent compile cache: repeat runs skip the (minutes-long on this
+    # 2-core host) XLA compiles and measure only execution
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from compressai_environment_tpu.models import FactorizedPrior
 
     n_images, h, w = 24, 512, 768

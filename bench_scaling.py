@@ -21,6 +21,9 @@ import numpy as np
 def run(n_devices: int, images_per_device: int = 4, h: int = 512, w: int = 768):
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from compressai_environment_tpu.models import FactorizedPrior
     from compressai_environment_tpu.parallel import make_mesh
     from compressai_environment_tpu.parallel.mesh import compress_data_parallel
