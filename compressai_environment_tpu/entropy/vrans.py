@@ -284,6 +284,190 @@ def build_decode_lut(quantized_cdf: np.ndarray, cdf_length: np.ndarray) -> np.nd
     return lut
 
 
+_POST_ESC = -32768  # int16 sentinel marking the escape symbol in `post`
+
+
+def build_packed_tables(quantized_cdf, cdf_length, offset):
+    """Gather-minimizing decode/encode tables (one fused gather per symbol).
+
+    Returns a dict or None when the tables don't fit the packed ranges:
+        sf:   (n, 65536) uint32 = start | (freq-1) << 16, indexed by [row, cum]
+        post: (n, 65536) int16  = decoded symbol + offset, or -32768 (escape)
+        mo:   (n,) uint32 = (offset + 32768) | max_value << 16
+        cdf2: (n, stride-1) uint32 = start | (freq-1) << 16, indexed by
+              [row, coded_symbol] (encoder side)
+    """
+    quantized_cdf = np.asarray(quantized_cdf, np.int64)
+    cdf_length = np.asarray(cdf_length, np.int64)
+    offset = np.asarray(offset, np.int64)
+    maxv = cdf_length - 2
+    if (
+        offset.min() < -32768 or offset.max() > 32767
+        or maxv.max() >= (1 << 16) or maxv.min() < 0
+    ):
+        return None
+    lut = build_decode_lut(
+        quantized_cdf.astype(np.int32), cdf_length.astype(np.int32)
+    ).astype(np.int64)
+    start = np.take_along_axis(quantized_cdf, lut, axis=1)
+    nxt = np.take_along_axis(quantized_cdf, lut + 1, axis=1)
+    freq = np.maximum(nxt - start, 1)
+    sf = (start | ((freq - 1) << 16)).astype(np.uint32)
+    esc = lut == maxv[:, None]
+    post64 = np.where(esc, _POST_ESC, lut + offset[:, None])
+    if post64.max() > 32767 or np.where(esc, 0, post64).min() < -32767:
+        return None
+    post = post64.astype(np.int16)
+    mo = ((offset + 32768) | (maxv << 16)).astype(np.uint32)
+    c = quantized_cdf
+    f2 = np.maximum(c[:, 1:] - c[:, :-1], 1)
+    cdf2 = (c[:, :-1] | ((f2 - 1) << 16)).astype(np.uint32)
+    return {"sf": sf, "post": post, "mo": mo, "cdf2": cdf2}
+
+
+@partial(jax.jit, static_argnames=("T",))
+def _decode_scan_sf(x0, words, rows, pad_mask, sf, T: int):
+    """Single-table-gather decode scan: emits per-position `cum` (uint16);
+    symbols are recovered afterwards in one bulk `post` gather. Bit-identical
+    to :func:`_decode_scan` state evolution."""
+    lanes = rows.shape[1]
+    lane_iota = jnp.arange(lanes)
+
+    def step(carry, inp):
+        x, cursor = carry
+        row, pad = inp
+        cum = (x & _MASK16).astype(jnp.uint32)
+        safe_row = jnp.maximum(row, 0)
+        v = sf[safe_row, cum.astype(jnp.int32)]
+        start = v & _MASK16
+        freq = (v >> np.uint32(16)) + np.uint32(1)
+        start = jnp.where(pad, jnp.uint32(0), start)
+        freq = jnp.where(pad, _L, freq)
+
+        x = freq * (x >> np.uint32(16)) + cum - start
+        need = x < _L
+        w = words[jnp.minimum(cursor, words.shape[0] - 1), lane_iota]
+        x = jnp.where(need, (x << np.uint32(16)) | w, x)
+        cursor = cursor + need.astype(jnp.int32)
+        return (x, cursor), cum.astype(jnp.uint16)
+
+    (x, cursor), cums = jax.lax.scan(
+        step, (x0, jnp.zeros((lanes,), jnp.int32)), (rows, pad_mask)
+    )
+    return cums
+
+
+@partial(jax.jit, static_argnames=("T", "lanes", "max_w", "has_raw"))
+def _decode_device_core2(flat, counts, indexes, raw, raw_counts, sf, post, mo,
+                         T: int, lanes: int, max_w: int, has_raw: bool):
+    """Fused on-device decode: per-lane stream expansion (gathers from the
+    flat uploaded word stream), the sf scan, bulk symbol recovery, and escape
+    unfolding. flat: (cap,) uint16; counts: (B*lanes,) int32 (per-lane word
+    counts incl. the 2 state words); indexes: (B, n) int32."""
+    B, n = indexes.shape
+    L = B * lanes
+    pad = T * lanes - n
+    cap = flat.shape[0]
+
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    flat32 = flat.astype(jnp.uint32)
+    x0 = flat32[jnp.minimum(bounds, cap - 1)] | (
+        flat32[jnp.minimum(bounds + 1, cap - 1)] << np.uint32(16)
+    )
+    j = jnp.arange(max_w)[:, None]
+    src = bounds[None, :] + 2 + j
+    valid = j < (counts - 2)[None, :]
+    words = jnp.where(
+        valid, flat32[jnp.minimum(src, cap - 1)], jnp.uint32(0)
+    )
+
+    def lane_layout(a, padval):
+        a = jnp.concatenate([a, jnp.full((B, pad), padval, a.dtype)], axis=1)
+        return a.reshape(B, lanes, T).transpose(2, 0, 1).reshape(T, L)
+
+    rows = lane_layout(indexes, jnp.int32(-1))
+    pad_mask = rows < 0
+
+    cums = _decode_scan_sf(x0, words, rows, pad_mask, sf, T)
+    coded16 = post[jnp.maximum(rows, 0), cums.astype(jnp.int32)]
+    coded = (
+        coded16.reshape(T, B, lanes).transpose(1, 2, 0).reshape(B, lanes * T)[:, :n]
+    ).astype(jnp.int32)
+
+    if not has_raw:
+        return coded
+
+    esc = coded == _POST_ESC
+    pos = jnp.cumsum(esc, axis=1) - 1
+    rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], esc.shape)
+    raw_vals = raw[rows_b, jnp.clip(pos, 0, raw.shape[1] - 1)]
+    m = mo[indexes]
+    offset = (m & _MASK16).astype(jnp.int32) - 32768
+    maxv = (m >> np.uint32(16)).astype(jnp.int32)
+    dec = (raw_vals >> np.uint32(1)).astype(jnp.int32)
+    dec = jnp.where((raw_vals & np.uint32(1)) == 1, -dec - 1 + offset,
+                    dec + maxv + offset)
+    return jnp.where(esc, dec, coded)
+
+
+@partial(jax.jit, static_argnames=("T", "lanes", "w_cap", "raw_cap"))
+def _encode_device_core2(symbols, indexes, cdf2, mo,
+                         T: int, lanes: int, w_cap: int, raw_cap: int):
+    """On-device encode with fused (start|freq) gather and flat stream
+    compaction. Returns (flat (w_cap*B*lanes,) uint16 — per-lane words
+    concatenated in lane order, counts, overflow, raw, raw_counts,
+    raw_overflow). Byte-compatible with :func:`_encode_device_core`."""
+    B, n = symbols.shape
+    m = mo[indexes]
+    offset = (m & _MASK16).astype(jnp.int32) - 32768
+    maxv = (m >> np.uint32(16)).astype(jnp.int32)
+    value = symbols - offset
+    neg = value < 0
+    over = value >= maxv
+    esc = neg | over
+    raw = jnp.where(neg, (-2 * value - 1), 2 * (value - maxv)).astype(jnp.uint32)
+    coded = jnp.where(esc, maxv, value)
+
+    v = cdf2[indexes, coded]
+    starts = v & _MASK16
+    freqs = (v >> np.uint32(16)) + np.uint32(1)
+
+    pos = jnp.cumsum(esc, axis=1) - 1
+    raw_counts = jnp.sum(esc, axis=1)
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], esc.shape)
+    raw_buf = jnp.zeros((B, raw_cap + 1), jnp.uint32)
+    raw_buf = raw_buf.at[
+        rows, jnp.where(esc, jnp.minimum(pos, raw_cap), raw_cap)
+    ].set(jnp.where(esc, raw, 0), mode="drop")
+    raw_overflow = jnp.any(raw_counts > raw_cap)
+
+    pad = T * lanes - n
+    L = B * lanes
+
+    def lane_layout(a, padval):
+        a = jnp.concatenate([a, jnp.full((B, pad), padval, a.dtype)], axis=1)
+        return a.reshape(B, lanes, T).transpose(2, 0, 1).reshape(T, L)
+
+    starts_tl = lane_layout(starts, jnp.uint32(0))
+    freqs_tl = lane_layout(freqs, jnp.uint32(1 << 16))
+
+    packed, counts, overflow = _encode_scan_packed(starts_tl, freqs_tl, T, w_cap)
+
+    # flat per-lane concatenation on device: download is entropy-sized
+    lane_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    jj = jnp.arange(w_cap)[:, None]
+    valid = jj < counts[None, :]
+    flat_cap = w_cap * L
+    dst = jnp.where(valid, lane_off[None, :] + jj, flat_cap)
+    flat = jnp.zeros((flat_cap + 1,), jnp.uint16)
+    flat = flat.at[dst].set(packed.astype(jnp.uint16), mode="drop")[:flat_cap]
+    return flat, counts, overflow, raw_buf[:, :raw_cap], raw_counts, raw_overflow
+
+
 # ---------------------------------------------------------------------------
 # host orchestration
 # ---------------------------------------------------------------------------
@@ -626,33 +810,59 @@ def encode_batch_device(symbols_dev, indexes_dev, tables, lanes: int = DEFAULT_L
     """Encode (B, n) device symbol/index arrays into per-image blobs.
 
     Byte-identical to :func:`encode_interleaved_batch` on the same inputs.
+    Uses the packed-table core (one fused (start|freq) gather, on-device
+    stream compaction, entropy-sized download) when the tables fit the
+    packed ranges; else the generic core.
     """
     B, n = symbols_dev.shape
     T = _lane_layout(n, lanes)
     w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
     raw_cap = max(256, n // 32)
-    dev = tables.device
+    pt = tables.device_packed
 
-    packed, counts, overflow, raw, raw_counts, raw_ovf = _encode_device_core(
-        symbols_dev, indexes_dev, dev["cdf"], dev["sizes"], dev["offsets"],
-        T, lanes, w_cap, raw_cap,
-    )
-    if bool(overflow) or bool(raw_ovf):
-        # pathological stream: host fallback
-        return encode_interleaved_batch(
-            np.asarray(symbols_dev), np.asarray(indexes_dev),
-            tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
+    if pt is not None:
+        flat_dev, counts, overflow, raw, raw_counts, raw_ovf = (
+            _encode_device_core2(
+                symbols_dev, indexes_dev, pt["cdf2"], pt["mo"],
+                T, lanes, w_cap, raw_cap,
+            )
         )
+        counts_np = np.asarray(counts).astype(np.int64)
+        if bool(overflow) or bool(raw_ovf):
+            return encode_interleaved_batch(
+                np.asarray(symbols_dev), np.asarray(indexes_dev),
+                tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
+            )
+        total = int(counts_np.sum())
+        flat = np.asarray(flat_dev[:total])  # entropy-sized download
+        raw_counts_np = np.asarray(raw_counts).astype(np.int64)
+        max_raw = int(raw_counts_np.max()) if B else 0
+        raw_np = (
+            np.asarray(raw[:, :max_raw]) if max_raw
+            else np.zeros((B, 0), np.uint32)
+        )
+    else:
+        dev = tables.device
+        packed, counts, overflow, raw, raw_counts, raw_ovf = _encode_device_core(
+            symbols_dev, indexes_dev, dev["cdf"], dev["sizes"], dev["offsets"],
+            T, lanes, w_cap, raw_cap,
+        )
+        if bool(overflow) or bool(raw_ovf):
+            # pathological stream: host fallback
+            return encode_interleaved_batch(
+                np.asarray(symbols_dev), np.asarray(indexes_dev),
+                tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
+            )
 
-    packed_np = np.asarray(packed)  # (w_cap, B*lanes) uint16
-    counts_np = np.asarray(counts).astype(np.int64)
-    raw_np = np.asarray(raw)
-    raw_counts_np = np.asarray(raw_counts).astype(np.int64)
+        packed_np = np.asarray(packed)  # (w_cap, B*lanes) uint16
+        counts_np = np.asarray(counts).astype(np.int64)
+        raw_np = np.asarray(raw)
+        raw_counts_np = np.asarray(raw_counts).astype(np.int64)
 
-    # vectorized per-lane trim: column-major mask selection keeps per-lane
-    # words contiguous in ascending order
-    mask = np.arange(w_cap)[:, None] < counts_np[None, :]
-    flat = packed_np.T[mask.T]  # concatenated per-lane words, lane-major
+        # vectorized per-lane trim: column-major mask selection keeps
+        # per-lane words contiguous in ascending order
+        mask = np.arange(w_cap)[:, None] < counts_np[None, :]
+        flat = packed_np.T[mask.T]  # concatenated per-lane words, lane-major
 
     lane_bounds = np.concatenate([[0], np.cumsum(counts_np)])
     blobs = []
@@ -670,7 +880,12 @@ def encode_batch_device(symbols_dev, indexes_dev, tables, lanes: int = DEFAULT_L
 
 
 def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None):
-    """Decode per-image blobs to a (B, n) int32 symbol array ON DEVICE."""
+    """Decode per-image blobs to a (B, n) int32 symbol array ON DEVICE.
+
+    With packed tables the host only concatenates the raw blob words and
+    uploads the entropy-sized flat stream; lane expansion, the scan, symbol
+    recovery and escape unfolding are all fused on device.
+    """
     indexes_dev = jnp.asarray(indexes_dev)
     B, n = indexes_dev.shape
     unpacked = [_unpack_blob(blob, n) for blob in blobs]
@@ -683,7 +898,27 @@ def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None):
     max_w = max(1, int(body.max()))
     max_w = 1 << (max_w - 1).bit_length()
 
-    # vectorized unpack of all lanes into (max_w, B*lanes) + init states
+    raw_cap = max(1, max(int(u[3].size) for u in unpacked))
+    has_raw = any(u[3].size for u in unpacked)
+    raw = np.zeros((B, raw_cap), np.uint32)
+    raw_counts = np.zeros(B, np.int64)
+    for b, u in enumerate(unpacked):
+        raw[b, : u[3].size] = u[3]
+        raw_counts[b] = u[3].size
+
+    pt = tables.device_packed
+    if pt is not None:
+        stream_all = np.ascontiguousarray(
+            np.concatenate([u[2] for u in unpacked])
+        )
+        return _decode_device_core2(
+            jnp.asarray(stream_all), jnp.asarray(counts_all.astype(np.int32)),
+            indexes_dev, jnp.asarray(raw), jnp.asarray(raw_counts),
+            pt["sf"], pt["post"], pt["mo"], T, lanes, max_w, has_raw,
+        )
+
+    # generic fallback: vectorized host unpack of all lanes into
+    # (max_w, B*lanes) + init states
     stream_all = np.concatenate([u[2] for u in unpacked])
     bounds = np.concatenate([[0], np.cumsum(counts_all)])[:-1]
     x0 = (
@@ -696,13 +931,6 @@ def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None):
     src = np.repeat(bounds + 2, body) + j_of
     words = np.zeros((max_w, total_lanes), np.uint16)
     words[j_of, lane_of] = stream_all[src]
-
-    raw_cap = max(1, max(int(u[3].size) for u in unpacked))
-    raw = np.zeros((B, raw_cap), np.uint32)
-    raw_counts = np.zeros(B, np.int64)
-    for b, u in enumerate(unpacked):
-        raw[b, : u[3].size] = u[3]
-        raw_counts[b] = u[3].size
 
     dev = tables.device
     return _decode_device_core(

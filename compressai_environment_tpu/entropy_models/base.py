@@ -81,6 +81,27 @@ class CdfTables:
             object.__setattr__(self, "_device_arrays", dev)
         return dev
 
+    @property
+    def device_packed(self):
+        """Cached device copies of the gather-minimizing packed tables
+        (``vrans.build_packed_tables``), or None if the table ranges don't
+        fit the packed encoding."""
+        dev = getattr(self, "_device_packed", "unset")
+        if dev == "unset":
+            import jax.numpy as jnp
+
+            from ..entropy.vrans import build_packed_tables
+
+            host = build_packed_tables(
+                self.quantized_cdf, self.cdf_length, self.offset
+            )
+            dev = (
+                {k: jnp.asarray(v) for k, v in host.items()}
+                if host is not None else None
+            )
+            object.__setattr__(self, "_device_packed", dev)
+        return dev
+
     def validate(self):
         if self.quantized_cdf.size == 0:
             raise ValueError("Uninitialized CDFs. Run update() first")

@@ -439,16 +439,17 @@ def wavefront_decode(blob: bytes, params_hs, weights: ARWeightsDevice, tables,
     """Decode a lane-parallel AR blob to y_hat (H, W, M) on device."""
     M = weights.M
     x0, words = _unpack_ar_blob(blob, H, M)
-    max_values = (tables.cdf_length - 2).astype(np.int32)
+    dev = tables.device  # cached device copies: avoids re-uploading the LUT
+    max_values = dev["sizes"] - 2
     return _wavefront_decode(
         jnp.asarray(x0),
         jnp.asarray(words),
         jnp.asarray(params_hs),
         weights.tree(),
         jnp.asarray(scale_table),
-        jnp.asarray(tables.decode_lut),
-        jnp.asarray(tables.quantized_cdf),
-        jnp.asarray(tables.offset),
-        jnp.asarray(max_values),
+        dev["lut"],
+        dev["cdf"],
+        dev["offsets"],
+        max_values,
         H, W, M,
     )
