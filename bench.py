@@ -47,9 +47,11 @@ def main():
         ) * 255
     ).round().astype(np.uint8)
 
-    # warmup (compile at the exact benchmark shapes)
-    c = model.compress(x)
-    model.decompress(c["strings"], c["shape"])
+    # warmup (compile at the exact benchmark shapes; twice — the first
+    # post-compile iteration still pays tunnel-side executable caching)
+    for _ in range(2):
+        c = model.compress(x)
+        model.decompress(c["strings"], c["shape"])
 
     t0 = time.perf_counter()
     c = model.compress(x)
@@ -75,9 +77,10 @@ def main():
     ar.update(force=True)
     ar.stream_format = "tpu"
     xa = x[:1]
-    ca = ar.compress(xa)
-    da = ar.decompress(ca["strings"], ca["shape"])
-    jax.block_until_ready(da["x_hat"])
+    for _ in range(2):
+        ca = ar.compress(xa)
+        da = ar.decompress(ca["strings"], ca["shape"])
+        jax.block_until_ready(da["x_hat"])
     t0 = time.perf_counter()
     ca = ar.compress(xa)
     t1 = time.perf_counter()

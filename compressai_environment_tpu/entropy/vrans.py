@@ -834,13 +834,17 @@ def encode_batch_device(symbols_dev, indexes_dev, tables, lanes: int = DEFAULT_L
                 tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
             )
         total = int(counts_np.sum())
-        flat = np.asarray(flat_dev[:total])  # entropy-sized download
+        # entropy-sized download; bucket the slice length so repeat calls
+        # with different stream sizes reuse one compiled slice program
+        bucket = min(-(-total // 65536) * 65536, int(flat_dev.shape[0]))
+        flat = np.asarray(flat_dev[:bucket])[:total]
         raw_counts_np = np.asarray(raw_counts).astype(np.int64)
         max_raw = int(raw_counts_np.max()) if B else 0
-        raw_np = (
-            np.asarray(raw[:, :max_raw]) if max_raw
-            else np.zeros((B, 0), np.uint32)
-        )
+        if max_raw:
+            rb = min(1 << (max_raw - 1).bit_length(), int(raw.shape[1]))
+            raw_np = np.asarray(raw[:, :rb])
+        else:
+            raw_np = np.zeros((B, 0), np.uint32)
     else:
         dev = tables.device
         packed, counts, overflow, raw, raw_counts, raw_ovf = _encode_device_core(
@@ -898,7 +902,10 @@ def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None):
     max_w = max(1, int(body.max()))
     max_w = 1 << (max_w - 1).bit_length()
 
+    # power-of-two bucketed capacities keep the jit signature stable across
+    # bitstream sizes (a raw `total`-sized shape would recompile per call)
     raw_cap = max(1, max(int(u[3].size) for u in unpacked))
+    raw_cap = 1 << (raw_cap - 1).bit_length()
     has_raw = any(u[3].size for u in unpacked)
     raw = np.zeros((B, raw_cap), np.uint32)
     raw_counts = np.zeros(B, np.int64)
@@ -908,9 +915,10 @@ def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None):
 
     pt = tables.device_packed
     if pt is not None:
-        stream_all = np.ascontiguousarray(
-            np.concatenate([u[2] for u in unpacked])
-        )
+        total = int(counts_all.sum())
+        cap = -(-total // 65536) * 65536
+        stream_all = np.zeros(cap, np.uint16)
+        stream_all[:total] = np.concatenate([u[2] for u in unpacked])
         return _decode_device_core2(
             jnp.asarray(stream_all), jnp.asarray(counts_all.astype(np.int32)),
             indexes_dev, jnp.asarray(raw), jnp.asarray(raw_counts),

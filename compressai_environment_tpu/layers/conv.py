@@ -48,6 +48,9 @@ class Conv(nn.Module):
             nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
             (k, k, in_ch, self.features),
         )
+        # follow the parameter dtype (half() casts params to bfloat16;
+        # upstream fp32 accumulations are demoted here)
+        x = x.astype(kernel.dtype)
         y = lax.conv_general_dilated(
             x,
             kernel,
@@ -86,6 +89,7 @@ class Deconv(nn.Module):
             nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
             (k, k, in_ch, self.features),
         )
+        x = x.astype(kernel.dtype)
         lo = k - 1 - p
         hi = k - 1 - p + op
         y = lax.conv_general_dilated(

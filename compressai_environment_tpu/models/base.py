@@ -36,6 +36,8 @@ class CompressionModel:
         # "rans": reference-bit-exact single stream per image;
         # "tpu": interleaved-lane on-chip coder (entropy/vrans.py)
         self.stream_format = "rans"
+        # transform compute dtype; half() switches to bfloat16
+        self._compute_dtype = jnp.float32
 
     # -- lifecycle ---------------------------------------------------------
     def init(self, key=None, input_shape=(1, 256, 256, 3)):
@@ -54,6 +56,24 @@ class CompressionModel:
         if name not in self._jit_cache:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
+
+    def half(self, dtype=jnp.bfloat16):
+        """Cast floating-point parameters (and transform compute) to half
+        precision. The reference's ``--half`` casts the torch model to fp16
+        (``utils/eval_model/__main__.py:174-176``); on TPU the native half
+        type is bfloat16. Entropy coding stays integer/fp32-consistent:
+        encoder and decoder derive coding params from the same quantized
+        latents with the same ops, so streams stay self-consistent. Call
+        ``update()`` BEFORE ``half()`` so CDF tables are built in fp32.
+        """
+        self.params = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+            self.params,
+        )
+        self._compute_dtype = dtype
+        self._jit_cache.clear()
+        return self
 
     # -- reference-surface API --------------------------------------------
     def forward(self, x, training: bool = False, key=None):
@@ -90,20 +110,24 @@ class CompressionModel:
         """Spatial factor of the analysis transform alone (x -> y)."""
         return 16
 
+    def _cast(self, v) -> jnp.ndarray:
+        """Upload + cast to the transform compute dtype (fp32 or half)."""
+        return jnp.asarray(v, self._compute_dtype)
+
     def _require_tables(self, *names):
         for n in names:
             if n not in self.tables:
                 raise ValueError("Uninitialized CDFs. Run update() first")
 
-    @staticmethod
-    def _nhwc(x) -> jnp.ndarray:
+    def _nhwc(self, x) -> jnp.ndarray:
         """Accepts float [0, 1] or uint8 [0, 255] input; uint8 is uploaded
         as-is (4x less host->device traffic) and scaled on device."""
+        dt = self._compute_dtype
         if hasattr(x, "dtype") and np.dtype(x.dtype) == np.uint8:
             x = jnp.asarray(x)
-            x = x.astype(jnp.float32) / 255.0
+            x = x.astype(dt) / np.asarray(255.0, dt)
         else:
-            x = jnp.asarray(x, jnp.float32)
+            x = jnp.asarray(x, dt)
         if x.ndim != 4:
             raise ValueError("expected (B, H, W, C) input")
         return x

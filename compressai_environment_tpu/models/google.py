@@ -96,7 +96,9 @@ class FactorizedPrior(CompressionModel):
         return True
 
     def _medians(self) -> np.ndarray:
-        return np.asarray(self.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
+        return np.asarray(
+            self.params["entropy_bottleneck"]["quantiles"], np.float32
+        )[:, 0, 1]
 
     def compress(self, x):
         self._require_tables("y")
@@ -120,8 +122,8 @@ class FactorizedPrior(CompressionModel):
         decode = self._jitted(
             "decode", lambda p, v: self.net.apply(p, v, method=FactorizedPriorNet.decode)
         )
-        x_hat = decode({"params": self.params}, jnp.asarray(y_hat))
-        return {"x_hat": x_hat}
+        x_hat = decode({"params": self.params}, self._cast(y_hat))
+        return {"x_hat": x_hat.astype(jnp.float32)}
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +199,9 @@ class ScaleHyperprior(CompressionModel):
         return self.N
 
     def _medians(self) -> np.ndarray:
-        return np.asarray(self.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
+        return np.asarray(
+            self.params["entropy_bottleneck"]["quantiles"], np.float32
+        )[:, 0, 1]
 
     def update(self, scale_table=None, force: bool = False) -> bool:
         updated = False
@@ -239,7 +243,7 @@ class ScaleHyperprior(CompressionModel):
             "hyper_decode",
             lambda p, v: self.net.apply(p, v, method=self.net_cls.hyper_decode),
         )
-        out = hyper(params_dev, jnp.asarray(z_hat))
+        out = hyper(params_dev, self._cast(z_hat))
         indexes, means = self._indexes_and_means(out)
 
         y_strings = gc_ops.compress(
@@ -258,7 +262,7 @@ class ScaleHyperprior(CompressionModel):
             "hyper_decode",
             lambda p, v: self.net.apply(p, v, method=self.net_cls.hyper_decode),
         )
-        out = hyper({"params": self.params}, jnp.asarray(z_hat))
+        out = hyper({"params": self.params}, self._cast(z_hat))
         indexes, means = self._indexes_and_means(out)
         y_hat = gc_ops.decompress(
             strings[0], indexes, self.tables["y"], means,
@@ -267,8 +271,8 @@ class ScaleHyperprior(CompressionModel):
         decode = self._jitted(
             "decode", lambda p, v: self.net.apply(p, v, method=self.net_cls.decode)
         )
-        x_hat = decode({"params": self.params}, jnp.asarray(y_hat))
-        return {"x_hat": x_hat}
+        x_hat = decode({"params": self.params}, self._cast(y_hat))
+        return {"x_hat": x_hat.astype(jnp.float32)}
 
     def _indexes_and_means(self, hyper_out):
         """ScaleHyperprior: h_s output is scales only."""

@@ -275,7 +275,7 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
             "decode", lambda p, v: self.net.apply(p, v, method=self.net_cls.decode)
         )
         x_hat = decode({"params": self.params}, jnp.asarray(y_hat))
-        return {"x_hat": x_hat}
+        return {"x_hat": x_hat.astype(jnp.float32)}
 
     def _decompress_ar(self, y_string, params_hs, height, width, pad) -> np.ndarray:
         w8 = self._ar_weights()

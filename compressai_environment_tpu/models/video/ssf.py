@@ -446,7 +446,7 @@ class ScaleSpaceFlow(CompressionModel):
 
     def _eb_medians(self, branch) -> np.ndarray:
         q = self.params[f"{branch}_hyperprior"]["entropy_bottleneck"]["quantiles"]
-        return np.asarray(q)[:, 0, 1]
+        return np.asarray(q, np.float32)[:, 0, 1]
 
     def _hyper_compress(self, branch, y):
         """Two-stage hyperprior coding with STE-consistent reconstruction

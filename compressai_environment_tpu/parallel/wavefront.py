@@ -116,21 +116,13 @@ def _wavefront_encode(y, params_hs, weights, scale_table, H: int, W: int, M: int
         y_q = jnp.round(y_cur - means_hat).astype(jnp.int32)
         recon = y_q.astype(jnp.float32) + means_hat
 
-        # masked scatter of recon into the padded y_hat
-        def write_row(y_hat, i):
-            return jax.lax.cond(
-                active[i],
-                lambda yh: jax.lax.dynamic_update_slice(
-                    yh, recon[i][None, None, :], (hs_c[i] + _PAD, ws_c[i] + _PAD, 0)
-                ),
-                lambda yh: yh,
-                y_hat,
-            )
+        # masked scatter of recon into the padded y_hat: inactive rows are
+        # routed out of bounds and dropped, so one scatter handles the whole
+        # wavefront (no serial per-row update loop)
+        hs_p = jnp.where(active, hs_c + _PAD, H + 2 * _PAD)
+        y_hat = y_hat.at[hs_p, ws_c + _PAD].set(recon, mode="drop")
 
-        y_hat = jax.lax.fori_loop(0, A, lambda i, yh: write_row(yh, i), y_hat)
-
-        # inactive rows are routed out of bounds and dropped, so they can't
-        # clobber an active row's write through index clipping
+        # same drop-routing for the symbol/index planes
         hs_s = jnp.where(active, hs_c, H)
         symbols = symbols.at[hs_s, ws_c].set(y_q, mode="drop")
         indexes = indexes.at[hs_s, ws_c].set(idx, mode="drop")
@@ -262,17 +254,18 @@ def encode_ar_lanes(symbols, indexes, tables) -> bytes:
     valid = np.asarray(valid)
     state = np.asarray(state, np.uint32)
 
+    # vectorized per-lane assembly: 2 state words at each lane's bound, then
+    # that lane's valid words in ascending scan order
     counts = valid.sum(axis=0).astype(np.int64) + 2
-    streams = []
-    for l in range(lanes):
-        lane_words = words[valid[:, l], l]
-        streams.append(
-            np.concatenate([
-                np.array([state[l] & 0xFFFF, state[l] >> 16], dtype=np.uint16),
-                lane_words,
-            ])
-        )
-    stream = np.concatenate(streams)
+    bounds = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    total = int(counts.sum())
+    stream = np.empty(total, np.uint16)
+    stream[bounds] = (state & 0xFFFF).astype(np.uint16)
+    stream[bounds + 1] = (state >> 16).astype(np.uint16)
+    body_mask = np.ones(total, bool)
+    body_mask[bounds] = False
+    body_mask[bounds + 1] = False
+    stream[body_mask] = words.T[valid.T]
 
     header = np.array([H * W * M, lanes], dtype="<u4")
     return b"".join([
@@ -293,17 +286,20 @@ def _unpack_ar_blob(blob: bytes, H: int, M: int):
     total = int(counts.sum())
     stream = np.frombuffer(blob[off : off + 2 * total], dtype="<u2")
 
-    bounds = np.concatenate([[0], np.cumsum(counts)])
-    x0 = np.empty(lanes, np.uint32)
+    bounds = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    x0 = stream[bounds].astype(np.uint32) | (
+        stream[bounds + 1].astype(np.uint32) << 16
+    )
     body = counts - 2
     max_w = max(1, int(body.max()))
     # pad to the next power of two to bound jit recompilations
     max_w = 1 << (max_w - 1).bit_length()
+    total_body = int(body.sum())
+    lane_of = np.repeat(np.arange(lanes), body)
+    j_of = np.arange(total_body) - np.repeat(np.cumsum(body) - body, body)
+    src = np.repeat(bounds + 2, body) + j_of
     words = np.zeros((max_w, lanes), np.uint32)
-    for l in range(lanes):
-        s = stream[bounds[l] : bounds[l + 1]]
-        x0[l] = np.uint32(s[0]) | (np.uint32(s[1]) << 16)
-        words[: s.size - 2, l] = s[2:]
+    words[j_of, lane_of] = stream[src]
     return x0, words
 
 
@@ -414,18 +410,10 @@ def _wavefront_decode(x0, words, params_hs, weights, scale_table, lut, cdf,
 
         recon_rows = symbol.reshape(H, M)[hs_c].astype(jnp.float32) + means_hat
 
-        def write_row(y_hat, i):
-            return jax.lax.cond(
-                active[i],
-                lambda yh: jax.lax.dynamic_update_slice(
-                    yh, recon_rows[i][None, None, :],
-                    (hs_c[i] + _PAD, ws_c[i] + _PAD, 0),
-                ),
-                lambda yh: yh,
-                y_hat,
-            )
-
-        y_hat = jax.lax.fori_loop(0, A, lambda i, yh: write_row(yh, i), y_hat)
+        # one masked scatter for the whole wavefront (inactive rows routed
+        # out of bounds and dropped)
+        hs_p = jnp.where(active, hs_c + _PAD, H + 2 * _PAD)
+        y_hat = y_hat.at[hs_p, ws_c + _PAD].set(recon_rows, mode="drop")
         return y_hat, x, cursor
 
     y_hat, x, cursor = jax.lax.fori_loop(

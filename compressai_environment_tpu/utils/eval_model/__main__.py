@@ -144,6 +144,11 @@ def setup_args():
     )
     parent.add_argument("--entropy-estimation", action="store_true",
                         help="use evaluated entropy estimation (no coding)")
+    parent.add_argument(
+        "--half", action="store_true",
+        help="run transforms in half precision (bfloat16; the reference's "
+             "--half is fp16 — eval_model/__main__.py:174-176)",
+    )
     parent.add_argument("-v", "--verbose", action="store_true")
 
     parser = argparse.ArgumentParser(
@@ -202,6 +207,8 @@ def main(argv):
         model = load_func(run)
         if not args.entropy_estimation:
             model.update()
+        if args.half:
+            model.half()
         metrics = eval_model(model, filepaths, args.entropy_estimation)
         for k, v in metrics.items():
             results[k].append(v)

@@ -3,6 +3,7 @@ codec.py file-format round trip (reference test pattern:
 tests/test_eval_model.py, tests/test_codec.py)."""
 
 import json
+import math
 import subprocess
 import sys
 from pathlib import Path
@@ -106,6 +107,22 @@ def test_eval_model_real_coding(fake_dataset, exported_checkpoint, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["results"]["bpp"][0] > 0
     assert out["description"] == "Inference (ans)"
+
+
+def test_eval_model_half(fake_dataset, exported_checkpoint, capsys):
+    """--half (bfloat16 transforms; reference fp16 --half at
+    eval_model/__main__.py:174-176) must produce a sane report."""
+    from compressai_environment_tpu.utils.eval_model.__main__ import main
+
+    main([
+        "checkpoint", str(fake_dataset),
+        "-a", "bmshj2018-factorized",
+        "--half",
+        "-p", str(exported_checkpoint),
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["results"]["bpp"][0] > 0
+    assert math.isfinite(out["results"]["psnr"][0])
 
 
 def test_codec_cli_roundtrip(fake_dataset, exported_checkpoint, tmp_path):

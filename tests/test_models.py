@@ -109,6 +109,24 @@ class TestCodecRoundTrip:
         with pytest.raises(ValueError, match="update"):
             m.compress(image)
 
+    @pytest.mark.parametrize(
+        "cls,args", [(FactorizedPrior, (16, 24)), (MeanScaleHyperprior, (16, 24))]
+    )
+    def test_half_precision_roundtrip(self, image, cls, args):
+        """half() (bfloat16 transforms; reference --half is fp16 —
+        eval_model/__main__.py:174-176) must round-trip close to the fp32
+        reconstruction."""
+        m = _make(cls, *args)
+        m.update(force=True)
+        ref = np.asarray(m.decompress(**_kw(m.compress(image)))["x_hat"])
+        m.half()
+        assert m.params["g_a"]["0"]["kernel"].dtype == jnp.bfloat16
+        c = m.compress(image)
+        out = np.asarray(m.decompress(c["strings"], c["shape"])["x_hat"])
+        assert out.dtype == np.float32
+        # bf16 transforms: reconstructions agree to ~1e-2
+        assert np.max(np.abs(out - ref)) < 5e-2
+
     def test_batched_roundtrip(self):
         rng = np.random.default_rng(3)
         x = rng.random((3, 64, 64, 3), dtype=np.float32)
