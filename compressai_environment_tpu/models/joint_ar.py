@@ -155,31 +155,29 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
             "encode", lambda p, v: self.net.apply(p, v, method=self.net_cls.encode)
         )
         y, z = encode({"params": self.params}, x)
-        y, z = np.asarray(y), np.asarray(z)
 
         z_strings = eb_ops.compress(
             z, self._medians(), self.tables["z"], fmt=self.stream_format
         )
         z_hat = eb_ops.decompress(
-            z_strings, z.shape[1:3], self._medians(), self.tables["z"],
+            z_strings, tuple(z.shape[1:3]), self._medians(), self.tables["z"],
             fmt=self.stream_format,
         )
         hyper = self._jitted(
             "hyper_decode",
             lambda p, v: self.net.apply(p, v, method=self.net_cls.hyper_decode),
         )
-        params_hs = np.asarray(hyper({"params": self.params}, jnp.asarray(z_hat)))
-
-        s = 4  # z -> y upsampling factor
-        pad = 2  # (kernel_size - 1) // 2
-        y_h, y_w = z.shape[1] * s, z.shape[2] * s
+        params_hs = hyper({"params": self.params}, jnp.asarray(z_hat))
 
         # AR symbols via the device wavefront scheduler (symbol-exact with the
         # serial raster scan); stream format:
         #   "rans": single raster-order stream per image (reference layout)
         #   "tpu":  one rANS lane per (row, channel) so decode can follow the
-        #           same wavefront on device
-        from ..parallel.wavefront import encode_ar_lanes, wavefront_encode_symbols
+        #           same wavefront on device. y/params stay device-resident.
+        from ..parallel.wavefront import (
+            encode_ar_lanes_device,
+            wavefront_encode_symbols,
+        )
 
         w8 = self._ar_weights_device()
         tables = self.tables["y"]
@@ -189,9 +187,7 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
                 y[b], params_hs[b], w8, self.scale_table
             )
             if self.stream_format == "tpu":
-                y_strings.append(
-                    encode_ar_lanes(np.asarray(symbols), np.asarray(indexes), tables)
-                )
+                y_strings.append(encode_ar_lanes_device(symbols, indexes, tables))
             else:
                 y_strings.append(
                     coder.encode_with_indexes(
@@ -199,7 +195,7 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
                         tables.quantized_cdf, tables.cdf_length, tables.offset,
                     )
                 )
-        return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
+        return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
 
     def _compress_ar(self, y, params_hs, height, width, pad) -> bytes:
         """Strict-raster AR encode of one image's latents (host serial

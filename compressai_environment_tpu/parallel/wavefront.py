@@ -30,6 +30,7 @@ __all__ = [
     "ARWeightsDevice",
     "wavefront_encode_symbols",
     "encode_ar_lanes",
+    "encode_ar_lanes_device",
     "wavefront_decode",
 ]
 
@@ -215,6 +216,96 @@ def _divmod_u32_u16_wf(x, freq):
     return _divmod_u32_u16(x, freq)
 
 
+@partial(jax.jit, static_argnames=("H", "W", "M", "w_cap"))
+def _ar_lane_encode_core(symbols, indexes, cdf2, mo, H: int, W: int, M: int,
+                         w_cap: int):
+    """Device-side AR lane encode + compaction.
+
+    symbols/indexes: (H, W, M) int32 device arrays. Returns (flat uint16
+    per-lane concatenated words, counts (H*M,) int32 incl. 2 state words,
+    overflow flag). Byte-compatible with :func:`encode_ar_lanes`.
+    """
+    from ..entropy.vrans import _MASK16
+
+    lanes = H * M
+    m = mo[indexes]
+    offset = (m & _MASK16).astype(jnp.int32) - 32768
+    maxv = (m >> np.uint32(16)).astype(jnp.int32)
+    value = symbols - offset
+    neg = value < 0
+    over = value >= maxv
+    esc = neg | over
+    raw = jnp.where(neg, (-2 * value - 1), 2 * (value - maxv)).astype(jnp.uint32)
+    raw = jnp.where(esc, raw, 0)
+    coded = jnp.where(esc, maxv, value)
+
+    v = cdf2[indexes, coded]
+    starts = v & _MASK16
+    freqs = (v >> np.uint32(16)) + np.uint32(1)
+
+    def to_lanes(a):
+        return a.transpose(1, 0, 2).reshape(W, lanes)
+
+    words, valid, state = _lane_encode_scan(
+        to_lanes(starts), to_lanes(freqs), to_lanes(esc), to_lanes(raw), W
+    )
+
+    # per-lane compaction: slot 0/1 = state words, then valid words ascending
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
+    rows_idx = jnp.where(valid, pos + 2, w_cap)
+    lane_iota = jnp.broadcast_to(jnp.arange(lanes)[None, :], rows_idx.shape)
+    packed = jnp.zeros((w_cap + 1, lanes), jnp.uint32)
+    packed = packed.at[rows_idx, lane_iota].set(words, mode="drop")
+    packed = packed.at[0].set(state & _MASK16)
+    packed = packed.at[1].set(state >> np.uint32(16))
+    counts = valid.sum(axis=0).astype(jnp.int32) + 2
+    overflow = jnp.any(counts > w_cap)
+
+    # flat per-lane concatenation (entropy-sized download)
+    lane_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    jj = jnp.arange(w_cap)[:, None]
+    dst = jnp.where(jj < counts[None, :], lane_off[None, :] + jj, w_cap * lanes)
+    flat = jnp.zeros((w_cap * lanes + 1,), jnp.uint16)
+    flat = flat.at[dst].set(
+        packed[:w_cap].astype(jnp.uint16), mode="drop"
+    )[: w_cap * lanes]
+    return flat, counts, overflow
+
+
+def encode_ar_lanes_device(symbols_dev, indexes_dev, tables) -> bytes:
+    """Device-resident :func:`encode_ar_lanes`: escape folding, the lane
+    scan, and stream compaction all run on device; the host downloads only
+    the entropy-sized flat stream. Byte-identical output (tested). Falls
+    back to the host path when the packed tables don't fit."""
+    pt = tables.device_packed
+    if pt is None:
+        return encode_ar_lanes(np.asarray(symbols_dev), np.asarray(indexes_dev),
+                               tables)
+    H, W, M = symbols_dev.shape
+    # worst case 3 words/symbol (escape) + 2 state words; typical ~1
+    w_cap = min(3 * W + 2, max(16, (W * 24) // 16 + 4))
+    flat_dev, counts, overflow = _ar_lane_encode_core(
+        jnp.asarray(symbols_dev), jnp.asarray(indexes_dev),
+        pt["cdf2"], pt["mo"], H, W, M, w_cap,
+    )
+    counts_np = np.asarray(counts).astype(np.int64)
+    if bool(overflow):
+        return encode_ar_lanes(np.asarray(symbols_dev), np.asarray(indexes_dev),
+                               tables)
+    total = int(counts_np.sum())
+    bucket = min(-(-total // 65536) * 65536, int(flat_dev.shape[0]))
+    stream = np.asarray(flat_dev[:bucket])[:total]
+
+    header = np.array([H * W * M, H * M], dtype="<u4")
+    return b"".join([
+        header.tobytes(),
+        counts_np.astype("<u4").tobytes(),
+        stream.astype("<u2").tobytes(),
+    ])
+
+
 def encode_ar_lanes(symbols, indexes, tables) -> bytes:
     """Encode wavefront AR symbols (H, W, M) into the lane-parallel format."""
     H, W, M = symbols.shape
@@ -276,47 +367,57 @@ def encode_ar_lanes(symbols, indexes, tables) -> bytes:
 
 
 def _unpack_ar_blob(blob: bytes, H: int, M: int):
+    """Parse header/counts and return (flat words padded to a 64K bucket,
+    counts int32, max_w power-of-two); expansion happens on device."""
     header = np.frombuffer(blob[:8], dtype="<u4")
     n, lanes = int(header[0]), int(header[1])
     if lanes != H * M:
         raise ValueError(f"blob lanes {lanes} != H*M {H * M}")
     off = 8
-    counts = np.frombuffer(blob[off : off + 4 * lanes], dtype="<u4").astype(np.int64)
+    counts = np.frombuffer(blob[off : off + 4 * lanes], dtype="<u4").astype(np.int32)
     off += 4 * lanes
     total = int(counts.sum())
-    stream = np.frombuffer(blob[off : off + 2 * total], dtype="<u2")
-
-    bounds = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    x0 = stream[bounds].astype(np.uint32) | (
-        stream[bounds + 1].astype(np.uint32) << 16
-    )
-    body = counts - 2
-    max_w = max(1, int(body.max()))
-    # pad to the next power of two to bound jit recompilations
+    cap = -(-max(total, 1) // 65536) * 65536
+    flat = np.zeros(cap, np.uint16)
+    flat[:total] = np.frombuffer(blob[off : off + 2 * total], dtype="<u2")
+    max_w = max(1, int(counts.max()) - 2)
     max_w = 1 << (max_w - 1).bit_length()
-    total_body = int(body.sum())
-    lane_of = np.repeat(np.arange(lanes), body)
-    j_of = np.arange(total_body) - np.repeat(np.cumsum(body) - body, body)
-    src = np.repeat(bounds + 2, body) + j_of
-    words = np.zeros((max_w, lanes), np.uint32)
-    words[j_of, lane_of] = stream[src]
-    return x0, words
+    return flat, counts, max_w
 
 
-@partial(jax.jit, static_argnames=("H", "W", "M"))
-def _wavefront_decode(x0, words, params_hs, weights, scale_table, lut, cdf,
-                      offsets, max_values, H: int, W: int, M: int):
+@partial(jax.jit, static_argnames=("H", "W", "M", "max_w"))
+def _wavefront_decode(flat, counts, params_hs, weights, scale_table, lut, cdf,
+                      offsets, max_values, H: int, W: int, M: int, max_w: int):
     """Lane-parallel AR decode.
 
-    Per wavefront step: active rows compute Gaussian params from the
-    already-decoded context (gather + GEMM), then every (row, channel) lane
-    decodes one symbol from its own rANS stream; escapes trigger a masked
-    two-word raw read. Returns y_hat (H, W, M).
+    flat: (cap,) uint16 per-lane concatenated stream words; counts: (lanes,)
+    int32 incl. the 2 state words — lane expansion happens on device so the
+    host upload is entropy-sized. Per wavefront step: active rows compute
+    Gaussian params from the already-decoded context (gather + GEMM), then
+    every (row, channel) lane decodes one symbol from its own rANS stream;
+    escapes trigger a masked two-word raw read. Returns y_hat (H, W, M).
     """
     ctx_kernel = weights["ctx_kernel"]
     ctx_bias = weights["ctx_bias"]
     ep = weights["ep"]
     lanes = H * M
+
+    # on-device per-lane stream expansion (cf. vrans._decode_device_core2)
+    cap = flat.shape[0]
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    flat32 = flat.astype(jnp.uint32)
+    x0 = flat32[jnp.minimum(bounds, cap - 1)] | (
+        flat32[jnp.minimum(bounds + 1, cap - 1)] << np.uint32(16)
+    )
+    jj = jnp.arange(max_w)[:, None]
+    src = bounds[None, :] + 2 + jj
+    words = jnp.where(
+        jj < (counts - 2)[None, :],
+        flat32[jnp.minimum(src, cap - 1)],
+        jnp.uint32(0),
+    )
 
     A = min(H, (W + 2) // 3 + 1)
     T = 3 * (H - 1) + W
@@ -426,12 +527,12 @@ def wavefront_decode(blob: bytes, params_hs, weights: ARWeightsDevice, tables,
                      scale_table, H: int, W: int):
     """Decode a lane-parallel AR blob to y_hat (H, W, M) on device."""
     M = weights.M
-    x0, words = _unpack_ar_blob(blob, H, M)
+    flat, counts, max_w = _unpack_ar_blob(blob, H, M)
     dev = tables.device  # cached device copies: avoids re-uploading the LUT
     max_values = dev["sizes"] - 2
     return _wavefront_decode(
-        jnp.asarray(x0),
-        jnp.asarray(words),
+        jnp.asarray(flat),
+        jnp.asarray(counts),
         jnp.asarray(params_hs),
         weights.tree(),
         jnp.asarray(scale_table),
@@ -439,5 +540,5 @@ def wavefront_decode(blob: bytes, params_hs, weights: ARWeightsDevice, tables,
         dev["cdf"],
         dev["offsets"],
         max_values,
-        H, W, M,
+        H, W, M, max_w,
     )

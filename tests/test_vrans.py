@@ -140,6 +140,41 @@ class TestDeviceResidentAPI:
         np.testing.assert_array_equal(np.asarray(out), symbols)
 
 
+    def test_generic_fallback_when_tables_unpackable(self, rng):
+        """Offsets outside int16 disable the packed tables; the generic
+        device cores must produce identical blobs and round-trip."""
+        import jax.numpy as jnp
+
+        from compressai_environment_tpu.entropy_models import CdfTables
+        from compressai_environment_tpu.entropy.vrans import (
+            build_packed_tables,
+            decode_batch_device,
+            encode_batch_device,
+            encode_interleaved_batch,
+        )
+
+        cdfs, sizes, offsets = _table(rng)
+        offsets = (offsets + 40000).astype(np.int32)  # > int16 max
+        assert build_packed_tables(cdfs, sizes, offsets) is None
+        tables = CdfTables(cdfs, sizes, offsets)
+        assert tables.device_packed is None
+
+        B, n, lanes = 2, 1500, 32
+        indexes = rng.integers(0, 8, size=(B, n)).astype(np.int32)
+        symbols = (offsets[indexes] + rng.integers(-5, 20, size=(B, n))).astype(
+            np.int32
+        )
+        dev_blobs = encode_batch_device(
+            jnp.asarray(symbols), jnp.asarray(indexes), tables, lanes
+        )
+        host_blobs = encode_interleaved_batch(
+            symbols, indexes, cdfs, sizes, offsets, lanes
+        )
+        assert dev_blobs == host_blobs
+        out = decode_batch_device(dev_blobs, jnp.asarray(indexes), tables)
+        np.testing.assert_array_equal(np.asarray(out), symbols)
+
+
 class TestPallasKernel:
     def test_pallas_matches_scan(self, rng):
         """Pallas encode kernel (interpret mode on CPU) is bit-identical to

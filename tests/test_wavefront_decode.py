@@ -9,6 +9,7 @@ from compressai_environment_tpu.models import JointAutoregressiveHierarchicalPri
 from compressai_environment_tpu.parallel.wavefront import (
     ARWeightsDevice,
     encode_ar_lanes,
+    encode_ar_lanes_device,
     wavefront_decode,
     wavefront_encode_symbols,
 )
@@ -45,6 +46,22 @@ def test_lane_roundtrip(model, H, W, scale):
     np.testing.assert_allclose(
         np.asarray(y_hat_dec), np.asarray(y_hat_enc), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("H,W,scale", [(4, 4, 2.0), (6, 9, 2.0), (5, 5, 30.0)])
+def test_device_lane_encode_byte_identical(model, H, W, scale):
+    """encode_ar_lanes_device (on-device compaction) must produce exactly
+    the bytes of the host encode_ar_lanes, escapes included."""
+    rng = np.random.default_rng(11)
+    M = model.M
+    y = (rng.standard_normal((H, W, M)) * scale).astype(np.float32)
+    params_hs = rng.standard_normal((H, W, 2 * M)).astype(np.float32)
+    w8 = ARWeightsDevice(model.params, M)
+    tables = model.tables["y"]
+    symbols, indexes, _ = wavefront_encode_symbols(y, params_hs, w8, model.scale_table)
+    host = encode_ar_lanes(np.asarray(symbols), np.asarray(indexes), tables)
+    dev = encode_ar_lanes_device(symbols, indexes, tables)
+    assert dev == host
 
 
 def test_blob_smaller_than_raw(model):
