@@ -287,7 +287,7 @@ def build_decode_lut(quantized_cdf: np.ndarray, cdf_length: np.ndarray) -> np.nd
 _POST_ESC = -32768  # int16 sentinel marking the escape symbol in `post`
 
 
-def build_packed_tables(quantized_cdf, cdf_length, offset):
+def build_packed_tables(quantized_cdf, cdf_length, offset, lut=None):
     """Gather-minimizing decode/encode tables (one fused gather per symbol).
 
     Returns a dict or None when the tables don't fit the packed ranges:
@@ -306,9 +306,11 @@ def build_packed_tables(quantized_cdf, cdf_length, offset):
         or maxv.max() >= (1 << 16) or maxv.min() < 0
     ):
         return None
-    lut = build_decode_lut(
-        quantized_cdf.astype(np.int32), cdf_length.astype(np.int32)
-    ).astype(np.int64)
+    if lut is None:
+        lut = build_decode_lut(
+            quantized_cdf.astype(np.int32), cdf_length.astype(np.int32)
+        )
+    lut = np.asarray(lut, np.int64)
     start = np.take_along_axis(quantized_cdf, lut, axis=1)
     nxt = np.take_along_axis(quantized_cdf, lut + 1, axis=1)
     freq = np.maximum(nxt - start, 1)

@@ -93,7 +93,8 @@ class CdfTables:
             from ..entropy.vrans import build_packed_tables
 
             host = build_packed_tables(
-                self.quantized_cdf, self.cdf_length, self.offset
+                self.quantized_cdf, self.cdf_length, self.offset,
+                lut=self.decode_lut,
             )
             dev = (
                 {k: jnp.asarray(v) for k, v in host.items()}

@@ -57,20 +57,34 @@ class CompressionModel:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
+    # Top-level param subtrees that half() must keep in fp32. AR models pin
+    # their coding-path weights here: the encoder derives symbols on device
+    # (wavefront) while the "rans" decoder recomputes means/scales on the
+    # host, and host-vs-device GEMM bit-equality is only established for
+    # fp32 — a bf16 AR path could silently desync the stream.
+    _half_keep_fp32: tuple = ()
+
     def half(self, dtype=jnp.bfloat16):
         """Cast floating-point parameters (and transform compute) to half
         precision. The reference's ``--half`` casts the torch model to fp16
         (``utils/eval_model/__main__.py:174-176``); on TPU the native half
         type is bfloat16. Entropy coding stays integer/fp32-consistent:
         encoder and decoder derive coding params from the same quantized
-        latents with the same ops, so streams stay self-consistent. Call
+        latents with the same ops, so streams stay self-consistent; subtrees
+        named in ``_half_keep_fp32`` (the AR prediction weights) are kept in
+        fp32 so the host and device coding paths stay bit-identical. Call
         ``update()`` BEFORE ``half()`` so CDF tables are built in fp32.
         """
-        self.params = jax.tree_util.tree_map(
-            lambda a: a.astype(dtype)
-            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
-            self.params,
-        )
+        keep = frozenset(self._half_keep_fp32)
+
+        def cast(path, a):
+            if path and getattr(path[0], "key", None) in keep:
+                return a
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+                return a.astype(dtype)
+            return a
+
+        self.params = jax.tree_util.tree_map_with_path(cast, self.params)
         self._compute_dtype = dtype
         self._jit_cache.clear()
         return self

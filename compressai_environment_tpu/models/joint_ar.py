@@ -127,6 +127,10 @@ class _ARWeights:
 class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
     net_cls = JointARNet
     uses_means = True
+    # half(): keep the AR coding-path weights fp32 so the device wavefront
+    # encoder and the host "rans" decoder compute bit-identical means/scales
+    # (host/device GEMM equality is only established for fp32).
+    _half_keep_fp32 = ("context_prediction", "entropy_parameters")
 
     def __init__(self, N=192, M=192, params=None):
         super().__init__(N, M, params)
@@ -167,7 +171,13 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
             "hyper_decode",
             lambda p, v: self.net.apply(p, v, method=self.net_cls.hyper_decode),
         )
-        params_hs = hyper({"params": self.params}, jnp.asarray(z_hat))
+        # fp32 for the AR coding path even under half(): the bf16 h_s values
+        # upcast exactly, and all downstream GEMMs then match the fp32 host
+        # decoder bit-for-bit.
+        params_hs = hyper({"params": self.params}, jnp.asarray(z_hat)).astype(
+            jnp.float32
+        )
+        y = y.astype(jnp.float32)
 
         # AR symbols via the device wavefront scheduler (symbol-exact with the
         # serial raster scan); stream format:
@@ -244,7 +254,9 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
             "hyper_decode",
             lambda p, v: self.net.apply(p, v, method=self.net_cls.hyper_decode),
         )
-        params_hs = np.asarray(hyper({"params": self.params}, jnp.asarray(z_hat)))
+        params_hs = np.asarray(
+            hyper({"params": self.params}, jnp.asarray(z_hat)), np.float32
+        )
 
         s, pad = 4, 2
         y_h, y_w = shape[0] * s, shape[1] * s

@@ -207,8 +207,12 @@ def main(argv):
         model = load_func(run)
         if not args.entropy_estimation:
             model.update()
-        if args.half:
-            model.half()
+            # half() only applies to the real-coding inference path, matching
+            # the reference (utils/eval_model/__main__.py:173-176) where the
+            # fp16 cast lives inside the non-estimation branch; entropy
+            # estimation stays fp32.
+            if args.half:
+                model.half()
         metrics = eval_model(model, filepaths, args.entropy_estimation)
         for k, v in metrics.items():
             results[k].append(v)

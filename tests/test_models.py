@@ -160,6 +160,30 @@ class TestAutoregressiveRoundTrip:
         np.testing.assert_array_equal(np.asarray(d["x_hat"]), np.asarray(d2["x_hat"]))
 
 
+class TestARHalfPrecision:
+    def test_joint_ar_half_roundtrip_consistent(self, image):
+        """half() must not desync the AR stream: the coding-path weights stay
+        fp32 (``_half_keep_fp32``) so the device wavefront encoder and the
+        host "rans" decoder derive bit-identical means/scales. The "rans"
+        reconstruction must equal the "tpu"-format one exactly (both decode
+        the same device-derived symbols), and stay close to fp32."""
+        m = _make(JointAutoregressiveHierarchicalPriors, 16, 24)
+        m.update(force=True)
+        ref = np.asarray(m.decompress(**_kw(m.compress(image)))["x_hat"])
+        m.half()
+        # AR coding-path weights pinned fp32; transforms are bf16
+        assert m.params["context_prediction"]["kernel"].dtype == jnp.float32
+        assert m.params["entropy_parameters"]["0"]["kernel"].dtype == jnp.float32
+        assert m.params["g_a"]["0"]["kernel"].dtype == jnp.bfloat16
+        c = m.decompress(**_kw(m.compress(image)))
+        m.stream_format = "tpu"
+        t = m.decompress(**_kw(m.compress(image)))
+        np.testing.assert_allclose(
+            np.asarray(c["x_hat"]), np.asarray(t["x_hat"]), atol=1e-5
+        )
+        assert np.max(np.abs(np.asarray(c["x_hat"]) - ref)) < 5e-2
+
+
 class TestARTpuFormat:
     def test_joint_ar_tpu_format_matches_rans(self, image):
         """The lane-parallel wavefront codec must reconstruct identically to
