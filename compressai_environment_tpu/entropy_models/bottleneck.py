@@ -156,7 +156,16 @@ class EntropyBottleneck(nn.Module):
 
 def build_tables(module: EntropyBottleneck, params) -> CdfTables:
     """Sample the learned density into quantized CDF tables
-    (reference ``EntropyBottleneck.update``, ``entropy_models.py:389-429``)."""
+    (reference ``EntropyBottleneck.update``, ``entropy_models.py:389-429``).
+
+    Uses the torch-exact baking path when torch is importable so the integer
+    tables are byte-compatible with reference tooling (see
+    ``torch_exact.py``); otherwise the pure numpy/JAX evaluation below."""
+    from . import torch_exact
+
+    if torch_exact.available():
+        return torch_exact.eb_build_tables(params)
+
     quantiles = np.asarray(params["quantiles"], np.float32)  # (C, 1, 3)
     medians = quantiles[:, 0, 1]
 
@@ -190,13 +199,6 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
-def _spatial_indexes(shape, channels) -> np.ndarray:
-    """Channel-id index plane broadcast over batch/space; channel-last
-    (reference ``_build_indexes``, ``entropy_models.py:518-529``)."""
-    idx = np.arange(channels, dtype=np.int32)
-    return np.broadcast_to(idx, shape)
-
-
 def compress(x, medians: np.ndarray, tables: CdfTables, fmt: str = "rans"):
     """x: (B, ..., C) latent (numpy or device array); medians: (C,).
     Returns list of strings.
@@ -217,10 +219,20 @@ def compress(x, medians: np.ndarray, tables: CdfTables, fmt: str = "rans"):
         ).reshape(b, -1)
         return vrans.encode_batch_device(symbols, indexes, tables)
 
+    # "rans": reference layout — each batch element is flattened
+    # channel-major (C, *spatial), matching torch NCHW ``reshape(-1)`` in
+    # reference ``entropy_models.py:258-267``. Byte-for-byte parity with the
+    # reference coder depends on this order.
     x = np.asarray(x)
     c = x.shape[-1]
-    symbols = np.round(x - medians.reshape(-1)).astype(np.int32)
-    indexes = _spatial_indexes(x.shape, c)
+    xm = np.moveaxis(x, -1, 1)  # (B, C, *spatial)
+    med = medians.reshape((c,) + (1,) * (xm.ndim - 2))
+    symbols = np.round(xm - med).astype(np.int32)
+    indexes = np.broadcast_to(
+        np.arange(c, dtype=np.int32).reshape((c,) + (1,) * (xm.ndim - 2)),
+        xm.shape[1:],
+    )
+    indexes = np.broadcast_to(indexes, xm.shape)
     return compress_symbols(symbols, indexes, tables)
 
 
@@ -244,6 +256,13 @@ def decompress(strings, spatial_shape, medians: np.ndarray, tables: CdfTables,
             symbols.reshape(out_shape).astype(jnp.float32)
             + jnp.asarray(medians, jnp.float32).reshape(-1)
         )
-    indexes = _spatial_indexes(out_shape, c)
+    # reference layout: decode channel-major then restore channel-last
+    cm_shape = (len(strings), c) + tuple(spatial_shape)
+    indexes = np.broadcast_to(
+        np.arange(c, dtype=np.int32).reshape((c,) + (1,) * len(spatial_shape)),
+        cm_shape[1:],
+    )
+    indexes = np.broadcast_to(indexes, cm_shape)
     symbols = decompress_symbols(strings, indexes, tables)
+    symbols = np.moveaxis(symbols.reshape(cm_shape), 1, -1)
     return symbols.astype(np.float32) + np.asarray(medians, np.float32).reshape(-1)

@@ -48,6 +48,11 @@ SCALES_LEVELS = 64
 
 
 def get_scale_table(min=SCALES_MIN, max=SCALES_MAX, levels=SCALES_LEVELS):
+    from . import torch_exact
+
+    if torch_exact.available():
+        # fp32 values feed the CDF rows; match reference bitwise
+        return torch_exact.get_scale_table(min, max, levels)
     return np.exp(
         np.linspace(math.log(min), math.log(max), levels, dtype=np.float64)
     ).astype(np.float32)
@@ -121,7 +126,15 @@ def build_indexes(scales, scale_table, scale_bound: float = 0.11):
 
 def build_tables(scale_table, tail_mass: float = 1e-9) -> CdfTables:
     """One CDF row per table scale (reference ``GaussianConditional.update``,
-    ``entropy_models.py:625-648``)."""
+    ``entropy_models.py:625-648``).
+
+    Torch-exact baking when torch is importable (byte-compatible tables, see
+    ``torch_exact.py``); pure numpy fallback below."""
+    from . import torch_exact
+
+    if torch_exact.available():
+        return torch_exact.gc_build_tables(scale_table, tail_mass)
+
     scale_table = np.asarray(scale_table, np.float32)
     multiplier = -_std_quantile(tail_mass / 2)
     pmf_center = np.ceil(scale_table * multiplier).astype(np.int32)
@@ -157,10 +170,15 @@ def compress(inputs, indexes, tables: CdfTables, means=None, fmt: str = "rans"):
         idx = jnp.asarray(indexes).reshape(b, -1)
         return vrans.encode_batch_device(symbols, idx, tables)
 
+    # "rans": reference layout — flatten each batch element channel-major
+    # (C, *spatial) to match torch NCHW ``reshape(-1)`` in reference
+    # ``entropy_models.py:258-267``.
     inputs = np.asarray(inputs)
     values = inputs - np.asarray(means) if means is not None else inputs
     symbols = np.round(values).astype(np.int32)
-    return compress_symbols(symbols, np.asarray(indexes), tables)
+    symbols = np.moveaxis(symbols, -1, 1)
+    idx = np.moveaxis(np.asarray(indexes), -1, 1)
+    return compress_symbols(symbols, idx, tables)
 
 
 def decompress(strings, indexes, tables: CdfTables, means=None,
@@ -177,7 +195,9 @@ def decompress(strings, indexes, tables: CdfTables, means=None,
         if means is not None:
             return symbols.astype(jnp.float32) + jnp.asarray(means, jnp.float32)
         return symbols.astype(jnp.float32)
-    symbols = decompress_symbols(strings, np.asarray(indexes), tables)
+    idx = np.moveaxis(np.asarray(indexes), -1, 1)
+    symbols = decompress_symbols(strings, idx, tables)
+    symbols = np.moveaxis(symbols, 1, -1)
     if means is not None:
         return symbols.astype(np.float32) + np.asarray(means, np.float32)
     return symbols.astype(np.float32)

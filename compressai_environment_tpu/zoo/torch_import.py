@@ -32,6 +32,11 @@ __all__ = ["rename_key", "load_pretrained", "state_dict_to_params", "load_state_
 
 _BUFFER_LEAVES = ("_quantized_cdf", "_offset", "_cdf_length", "scale_table", "target")
 
+# Constant (non-learned) torch buffers: LowerBound.bound and
+# NonNegativeParametrizer.pedestal are architecture constants re-derived by
+# our modules, so checkpoints may or may not carry them.
+_CONSTANT_LEAVES = ("bound", "pedestal", "scale_bound")
+
 
 def rename_key(key: str) -> str:
     """Legacy checkpoint key migration (reference ``zoo/pretrained.py:36-58``)."""
@@ -95,7 +100,7 @@ def state_dict_to_params(state_dict: Mapping[str, Any], template) -> Dict[str, A
     for key, value in state_dict.items():
         segs = key.split(".")
         leaf = segs[-1]
-        if leaf in _BUFFER_LEAVES or leaf == "mask":
+        if leaf in _BUFFER_LEAVES or leaf in _CONSTANT_LEAVES or leaf == "mask":
             continue
         arr = _to_numpy(value)
         path = tuple(segs[:-1])
