@@ -210,6 +210,55 @@ def test_model_bitstream_parity(ref, arch):
     assert err < 1e-3, f"{arch}: cross-decoded x_hat max abs diff {err}"
 
 
+def test_ssf2020_video_bitstream_parity(ref):
+    """ssf2020: byte-identical GOP bitstreams (keyframe + motion/residual
+    streams for every inter frame) and cross-decode, vs the reference
+    ``ScaleSpaceFlow`` (``models/video/google.py:394-435``)."""
+    import torch
+
+    from compressai_environment_tpu.zoo.torch_import import load_state_dict_video
+    from compressai_environment_tpu.zoo.video import ssf2020
+
+    torch.manual_seed(3)
+    net = ref.zoo.video_models["ssf2020"](quality=1, pretrained=False)
+    net.eval()
+    net.update(force=True)
+
+    model = ssf2020(quality=1)
+    load_state_dict_video(model, net.state_dict())
+    # rebuild tables with our own update() pipeline: must be byte-compatible
+    model.tables.clear()
+    model.update(force=True)
+
+    torch.manual_seed(11)
+    frames_t = [torch.rand(1, 3, 128, 128) for _ in range(3)]
+    frames_np = [f.numpy().transpose(0, 2, 3, 1) for f in frames_t]
+
+    with torch.no_grad():
+        ref_strings, ref_shapes = net.compress(frames_t)
+    our_strings, our_shapes = model.compress(frames_np)
+
+    ref_flat = _flatten_strings(
+        [list(s.values()) if isinstance(s, dict) else s for s in ref_strings]
+    )
+    our_flat = _flatten_strings(
+        [list(s.values()) if isinstance(s, dict) else s for s in our_strings]
+    )
+    assert len(ref_flat) == len(our_flat)
+    for i, (a, b) in enumerate(zip(our_flat, ref_flat)):
+        assert a == b, f"ssf2020 stream {i} differs ({len(a)}B vs {len(b)}B)"
+
+    # cross-decode: we decode the reference's streams
+    our_dec = model.decompress(ref_strings, ref_shapes)
+    with torch.no_grad():
+        ref_dec = net.decompress(our_strings, our_shapes)
+    for i, (ours, theirs) in enumerate(zip(our_dec, ref_dec)):
+        a = np.asarray(ours)
+        b = theirs.numpy().transpose(0, 2, 3, 1)
+        err = np.abs(a - b).max()
+        assert err < 1e-2, f"ssf2020 frame {i} cross-decode max diff {err}"
+
+
 @pytest.mark.parametrize("arch", ARCHS)
 def test_update_builds_identical_tables(ref, arch):
     """Our ``update(force=True)`` from imported weights reproduces the
