@@ -1,5 +1,13 @@
 from .losses import rate_distortion_loss
-from .optim import TrainState, init_train_state, make_optimizers, train_step
+from .optim import (
+    PlateauScheduler,
+    TrainState,
+    get_learning_rate,
+    init_train_state,
+    make_optimizers,
+    set_learning_rate,
+    train_step,
+)
 
 __all__ = [
     "rate_distortion_loss",
@@ -7,4 +15,7 @@ __all__ = [
     "init_train_state",
     "train_step",
     "TrainState",
+    "PlateauScheduler",
+    "set_learning_rate",
+    "get_learning_rate",
 ]

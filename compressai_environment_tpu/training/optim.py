@@ -30,15 +30,101 @@ def make_optimizers(
     aux_learning_rate: float = 1e-3,
     max_grad_norm: float = 1.0,
 ):
-    """Returns (main_tx, aux_tx) optax transforms with disjoint masks."""
-    main = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adam(learning_rate),
-    )
+    """Returns (main_tx, aux_tx) optax transforms with disjoint masks.
+
+    The main learning rate is injected as a dynamic hyperparameter so a
+    plateau scheduler can change it between epochs without rebuilding the
+    optimizer (reference pairs Adam with ReduceLROnPlateau,
+    ``examples/train.py:327``)."""
+
+    def _main(learning_rate):
+        return optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            optax.adam(learning_rate),
+        )
+
+    main = optax.inject_hyperparams(_main)(learning_rate=learning_rate)
     aux = optax.adam(aux_learning_rate)
     main_masked = optax.masked(main, quantiles_mask(params, invert=True))
     aux_masked = optax.masked(aux, quantiles_mask(params, invert=False))
     return main_masked, aux_masked
+
+
+def set_learning_rate(opt_state, lr):
+    """Return ``opt_state`` with the injected main learning rate replaced.
+
+    Works through ``optax.masked`` wrapping; no-op on states without an
+    ``InjectHyperparamsState`` inside."""
+    import jax.numpy as jnp
+
+    if isinstance(opt_state, optax.MaskedState):
+        return optax.MaskedState(
+            inner_state=set_learning_rate(opt_state.inner_state, lr)
+        )
+    # InjectHyperparamsState / InjectStatefulHyperparamsState (optax>=0.2.3)
+    if hasattr(opt_state, "hyperparams") and hasattr(opt_state, "_replace"):
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return opt_state._replace(hyperparams=hp)
+    return opt_state
+
+
+def get_learning_rate(opt_state):
+    """Current injected main learning rate, or None."""
+    if isinstance(opt_state, optax.MaskedState):
+        return get_learning_rate(opt_state.inner_state)
+    if hasattr(opt_state, "hyperparams"):
+        return float(opt_state.hyperparams["learning_rate"])
+    return None
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau with torch semantics (mode="min", relative
+    threshold 1e-4, cooldown 0) — the reference's scheduler
+    (``examples/train.py:327``, stepped on the epoch eval loss at ``:330``).
+
+    Host-side and stateless w.r.t. the optimizer: ``step(loss)`` returns the
+    (possibly reduced) learning rate; callers pass it through
+    :func:`set_learning_rate`. ``state_dict``/``load_state_dict`` give exact
+    checkpoint resume."""
+
+    def __init__(self, lr, factor=0.1, patience=10, threshold=1e-4,
+                 min_lr=0.0):
+        self.lr = float(lr)
+        self.factor = float(factor)
+        self.patience = int(patience)
+        self.threshold = float(threshold)
+        self.min_lr = float(min_lr)
+        self.best = float("inf")
+        self.num_bad_epochs = 0
+
+    def _is_better(self, loss) -> bool:
+        # torch "rel" threshold: loss < best * (1 - threshold)
+        return loss < self.best * (1.0 - self.threshold)
+
+    def step(self, loss) -> float:
+        loss = float(loss)
+        if self._is_better(loss):
+            self.best = loss
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.num_bad_epochs = 0
+        return self.lr
+
+    def state_dict(self) -> dict:
+        return {
+            "lr": self.lr, "factor": self.factor, "patience": self.patience,
+            "threshold": self.threshold, "min_lr": self.min_lr,
+            "best": self.best, "num_bad_epochs": self.num_bad_epochs,
+        }
+
+    def load_state_dict(self, d) -> "PlateauScheduler":
+        for k, v in d.items():
+            setattr(self, k, type(getattr(self, k))(v))
+        return self
 
 
 class TrainState(NamedTuple):

@@ -71,13 +71,16 @@ def main(argv=None):
 
     from compressai_environment_tpu.datasets import ImageFolder
     from compressai_environment_tpu.training import (
+        PlateauScheduler,
         init_train_state,
         rate_distortion_loss,
+        set_learning_rate,
         train_step,
     )
     from compressai_environment_tpu.utils.checkpoint import (
-        restore_into,
+        load_train_checkpoint,
         save_checkpoint,
+        save_train_checkpoint,
     )
     from compressai_environment_tpu.zoo.image import _load_model
 
@@ -85,8 +88,6 @@ def main(argv=None):
     key = jax.random.key(seed)
 
     model = _load_model(args.model, "mse", args.quality)
-    if args.checkpoint:
-        restore_into(model, args.checkpoint)
 
     state, txs = init_train_state(
         model.params,
@@ -94,6 +95,23 @@ def main(argv=None):
         aux_learning_rate=args.aux_learning_rate,
         max_grad_norm=args.clip_max_norm,
     )
+    scheduler = PlateauScheduler(args.learning_rate)
+    start_epoch = 0
+    best_loss = float("inf")
+    if args.checkpoint:
+        # full train resume: params + both optimizers + scheduler + epoch +
+        # RNG key (reference examples/train.py:331-338)
+        state, scheduler, last_epoch, ckpt_key, best_loss, _ = (
+            load_train_checkpoint(args.checkpoint, state, scheduler)
+        )
+        start_epoch = last_epoch + 1
+        if ckpt_key is not None:
+            key = ckpt_key
+        state = state._replace(
+            main_opt_state=set_learning_rate(state.main_opt_state, scheduler.lr)
+        )
+        model.params = state.params
+        print(f"Resumed from {args.checkpoint} at epoch {start_epoch}")
 
     train_ds = ImageFolder(args.dataset, split="train")
     patch = args.patch_size[0]
@@ -114,9 +132,7 @@ def main(argv=None):
         )
         step_fn = jitted
 
-    best_loss = float("inf")
-    lr_stale = 0
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = {}
         nsteps = 0
@@ -136,16 +152,28 @@ def main(argv=None):
             raise RuntimeError("dataset smaller than one batch")
 
         epoch_loss = float(losses["loss"])
-        print(f"Epoch {epoch} done in {time.time()-t0:.1f}s, loss {epoch_loss:.4f}")
+        lr = scheduler.step(epoch_loss)
+        state = state._replace(
+            main_opt_state=set_learning_rate(state.main_opt_state, lr)
+        )
+        print(
+            f"Epoch {epoch} done in {time.time()-t0:.1f}s, "
+            f"loss {epoch_loss:.4f}, lr {lr:g}"
+        )
 
-        # ReduceLROnPlateau(patience=20) analogue is left to long runs; we
-        # track best loss for checkpointing
-        if args.save and epoch_loss < best_loss:
-            best_loss = epoch_loss
-            model.params = jax.device_get(state.params)
-            save_checkpoint(model, args.save_path, architecture=args.model,
-                            extra={"epoch": epoch, "lmbda": args.lmbda})
-            print(f"Saved checkpoint to {args.save_path}")
+        if args.save:
+            # full train state every epoch (resume point) + best model export
+            save_train_checkpoint(
+                args.save_path + ".train", state, scheduler, epoch=epoch,
+                key=key, best_loss=min(best_loss, epoch_loss),
+                extra={"architecture": args.model, "lmbda": args.lmbda},
+            )
+            if epoch_loss < best_loss:
+                best_loss = epoch_loss
+                model.params = jax.device_get(state.params)
+                save_checkpoint(model, args.save_path, architecture=args.model,
+                                extra={"epoch": epoch, "lmbda": args.lmbda})
+                print(f"Saved checkpoint to {args.save_path}")
 
     return state
 
