@@ -15,9 +15,9 @@ from collections import defaultdict
 from itertools import starmap
 from pathlib import Path
 
-from .codecs import BPG, JPEG, JPEG2000, Codec, WebP
+from .codecs import AV1, BPG, HM, JPEG, JPEG2000, TFCI, VTM, Codec, WebP
 
-codecs = [JPEG, WebP, JPEG2000, BPG]
+codecs = [JPEG, WebP, JPEG2000, BPG, TFCI, VTM, HM, AV1]
 
 
 def func(codec, filepath, quality):
@@ -75,6 +75,8 @@ def main(argv):
     args = setup_parser().parse_args(argv)
     codec_cls = next(c for c in codecs if c.__name__.lower() == args.codec)
     codec = codec_cls()
+    if hasattr(codec, "set_args"):
+        codec.set_args(args)
     results = collect(codec, args.dataset, sorted(args.qualities), args.num_jobs)
     output = {
         "name": codec.name,

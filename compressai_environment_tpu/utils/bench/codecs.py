@@ -21,7 +21,10 @@ import numpy as np
 
 from ..metrics import ms_ssim, psnr
 
-__all__ = ["Codec", "PillowCodec", "JPEG", "WebP", "BinaryCodec", "JPEG2000", "BPG"]
+__all__ = [
+    "Codec", "PillowCodec", "JPEG", "WebP", "BinaryCodec", "JPEG2000", "BPG",
+    "TFCI", "RawYUVCodec", "VTM", "HM", "AV1",
+]
 
 
 def filesize(filepath: str) -> int:
@@ -234,6 +237,318 @@ class BPG(BinaryCodec):
     def _get_decode_cmd(self, out_filepath, rec_filepath):
         self._check_binaries([self.decoder_path])
         return [self.decoder_path, "-o", rec_filepath, out_filepath]
+
+
+class TFCI(BinaryCodec):
+    """tensorflow/compression ``tfci.py`` wrapper (reference
+    ``codecs.py:417-473``): shells out to the tfci script with a
+    ``<model>-<quality>`` id. Quality range 1-8."""
+
+    fmt = ".tfci"
+    models = (
+        "bmshj2018-factorized-mse",
+        "bmshj2018-hyperprior-mse",
+        "mbt2018-mean-mse",
+    )
+
+    def __init__(self, model="bmshj2018-factorized-mse", tfci_path="tfci.py"):
+        super().__init__()
+        self.model = model
+        self.tfci_path = tfci_path
+
+    @property
+    def name(self):
+        return f"{self.model}"
+
+    @property
+    def description(self):
+        return "TFCI"
+
+    def add_parser_args(self, parser):
+        parser.add_argument("-m", "--model", choices=self.models,
+                            default=self.models[0],
+                            help="model architecture (default: %(default)s)")
+        parser.add_argument("-p", "--path", dest="tfci_path", default="tfci.py",
+                            help="tfci python script path")
+
+    def set_args(self, args):
+        self.model = getattr(args, "model", self.model)
+        self.tfci_path = getattr(args, "tfci_path", self.tfci_path)
+
+    def _get_encode_cmd(self, filepath, quality, out_filepath):
+        if not 1 <= quality <= 8:
+            raise ValueError(f"Invalid quality value: {quality} (1, 8)")
+        return [
+            sys.executable, self.tfci_path, "compress",
+            f"{self.model}-{quality:d}", filepath, out_filepath,
+        ]
+
+    def _get_decode_cmd(self, out_filepath, rec_filepath):
+        return [
+            sys.executable, self.tfci_path, "decompress",
+            out_filepath, rec_filepath,
+        ]
+
+
+class RawYUVCodec(Codec):
+    """Shared raw-YUV444 pipeline for the reference-software codecs
+    (VTM / HM / AV1 — reference ``codecs.py:494-900``).
+
+    The input image is converted RGB -> BT.709 YCbCr (unless ``rgb=True``),
+    written as a planar 8-bit YUV444 file, run through the external
+    encoder/decoder pair, converted back, and scored against the source.
+    Subclasses provide ``_encode_cmd`` / ``_decode_cmd``.
+    """
+
+    fmt = ".bin"
+    rgb = False
+
+    def set_args(self, args):
+        self.rgb = getattr(args, "rgb", False)
+
+    # -- hooks -------------------------------------------------------------
+    def _encode_cmd(self, yuv_path, width, height, quality, out_filepath):
+        raise NotImplementedError()
+
+    def _decode_cmd(self, out_filepath, yuv_path):
+        raise NotImplementedError()
+
+    # -- pipeline ----------------------------------------------------------
+    def _to_planar(self, img) -> np.ndarray:
+        """HWC uint8 RGB -> planar (3, H, W) uint8, YCbCr unless rgb."""
+        arr = np.asarray(img, np.uint8)
+        if not self.rgb:
+            from ...transforms.functional import rgb2ycbcr
+
+            f = arr.astype(np.float32) / 255.0
+            arr = np.round(np.clip(rgb2ycbcr(f), 0, 1) * 255.0).astype(np.uint8)
+        return np.ascontiguousarray(arr.transpose(2, 0, 1))
+
+    def _to_rgb(self, planar: np.ndarray) -> np.ndarray:
+        """planar (3, H, W) uint8 -> HWC uint8 RGB."""
+        arr = planar.transpose(1, 2, 0).astype(np.float32) / 255.0
+        if not self.rgb:
+            from ...transforms.functional import ycbcr2rgb
+
+            arr = ycbcr2rgb(arr)
+        return np.round(np.clip(arr, 0, 1) * 255.0).astype(np.uint8)
+
+    def run(self, filepath, quality, metrics=None, return_rec=False):
+        img = read_image(filepath)
+        planar = self._to_planar(img)
+        _, h, w = planar.shape
+
+        fd, yuv_path = mkstemp(suffix=".yuv")
+        out_filepath = os.path.splitext(yuv_path)[0] + self.fmt
+        try:
+            with open(yuv_path, "wb") as f:
+                f.write(planar.tobytes())
+
+            cmd = [str(c) for c in self._encode_cmd(
+                yuv_path, w, h, quality, out_filepath
+            )]
+            start = time.time()
+            subprocess.run(cmd, check=True, capture_output=True)
+            enc_time = time.time() - start
+            size = filesize(out_filepath)
+
+            cmd = [str(c) for c in self._decode_cmd(out_filepath, yuv_path)]
+            start = time.time()
+            subprocess.run(cmd, check=True, capture_output=True)
+            dec_time = time.time() - start
+
+            rec_planar = np.fromfile(yuv_path, dtype=np.uint8)[
+                : planar.size
+            ].reshape(planar.shape)
+        finally:
+            os.close(fd)
+            for p in (yuv_path, out_filepath):
+                if os.path.exists(p):
+                    os.remove(p)
+
+        rec = self._to_rgb(rec_planar)
+        out = _metrics(img, rec)
+        out.update({
+            "bpp": float(size) * 8 / (h * w),
+            "encoding_time": enc_time,
+            "decoding_time": dec_time,
+        })
+        if return_rec:
+            return out, rec
+        return out
+
+
+class VTM(RawYUVCodec):
+    """VTM (VVC reference software) wrapper (reference ``codecs.py:494-634``).
+    Quality = QP in [0, 63]."""
+
+    fmt = ".bin"
+
+    def __init__(self, build_dir="", config="", rgb=False):
+        super().__init__()
+        self.build_dir = build_dir
+        self.config = config
+        self.rgb = rgb
+
+    @property
+    def name(self):
+        return "VTM"
+
+    @property
+    def description(self):
+        return "VTM"
+
+    def add_parser_args(self, parser):
+        parser.add_argument("-b", "--build-dir", dest="build_dir", default="",
+                            help="VTM build dir")
+        parser.add_argument("-c", "--config", default="", help="VTM config file")
+        parser.add_argument("--rgb", action="store_true",
+                            help="Use RGB color space (over YCbCr)")
+
+    def set_args(self, args):
+        super().set_args(args)
+        self.build_dir = getattr(args, "build_dir", self.build_dir)
+        self.config = getattr(args, "config", self.config)
+
+    @property
+    def encoder_path(self):
+        elf = {"Linux": "EncoderAppStatic", "Darwin": "EncoderApp"}
+        return os.path.join(self.build_dir, elf.get(platform.system(), "EncoderAppStatic"))
+
+    @property
+    def decoder_path(self):
+        elf = {"Linux": "DecoderAppStatic", "Darwin": "DecoderApp"}
+        return os.path.join(self.build_dir, elf.get(platform.system(), "DecoderAppStatic"))
+
+    def _encode_cmd(self, yuv_path, width, height, quality, out_filepath):
+        if not 0 <= quality <= 63:
+            raise ValueError(f"Invalid quality value: {quality} (0,63)")
+        cmd = [
+            self.encoder_path, "-i", yuv_path, "-c", self.config,
+            "-q", quality, "-o", "/dev/null", "-b", out_filepath,
+            "-wdt", width, "-hgt", height, "-fr", "1", "-f", "1",
+            "--InputChromaFormat=444", "--InputBitDepth=8",
+            "--ConformanceWindowMode=1",
+        ]
+        if self.rgb:
+            cmd += [
+                "--InputColourSpaceConvert=RGBtoGBR",
+                "--SNRInternalColourSpace=1",
+                "--OutputInternalColourSpace=0",
+            ]
+        return cmd
+
+    def _decode_cmd(self, out_filepath, yuv_path):
+        cmd = [self.decoder_path, "-b", out_filepath, "-o", yuv_path, "-d", 8]
+        if self.rgb:
+            cmd.append("--OutputInternalColourSpace=GBRtoRGB")
+        return cmd
+
+
+class HM(RawYUVCodec):
+    """HM (H.265/HEVC reference software) wrapper (reference
+    ``codecs.py:637-774``). Quality = QP in [0, 51]."""
+
+    fmt = ".bin"
+
+    def __init__(self, build_dir="", config="", rgb=False):
+        super().__init__()
+        self.build_dir = build_dir
+        self.config = config
+        self.rgb = rgb
+
+    @property
+    def name(self):
+        return "HM"
+
+    @property
+    def description(self):
+        return "HM"
+
+    def add_parser_args(self, parser):
+        parser.add_argument("-b", "--build-dir", dest="build_dir", default="",
+                            help="HM build dir")
+        parser.add_argument("-c", "--config", default="", help="HM config file")
+        parser.add_argument("--rgb", action="store_true",
+                            help="Use RGB color space (over YCbCr)")
+
+    def set_args(self, args):
+        super().set_args(args)
+        self.build_dir = getattr(args, "build_dir", self.build_dir)
+        self.config = getattr(args, "config", self.config)
+
+    def _encode_cmd(self, yuv_path, width, height, quality, out_filepath):
+        if not 0 <= quality <= 51:
+            raise ValueError(f"Invalid quality value: {quality} (0,51)")
+        cmd = [
+            os.path.join(self.build_dir, "TAppEncoderStatic"),
+            "-i", yuv_path, "-c", self.config, "-q", quality,
+            "-o", "/dev/null", "-b", out_filepath,
+            "-wdt", width, "-hgt", height, "-fr", "1", "-f", "1",
+            "--InputChromaFormat=444", "--InputBitDepth=8",
+            "--SEIDecodedPictureHash", "--Level=5.1",
+            "--CUNoSplitIntraACT=0", "--ConformanceMode=1",
+        ]
+        if self.rgb:
+            cmd += [
+                "--InputColourSpaceConvert=RGBtoGBR",
+                "--SNRInternalColourSpace=1",
+                "--OutputInternalColourSpace=0",
+            ]
+        return cmd
+
+    def _decode_cmd(self, out_filepath, yuv_path):
+        cmd = [
+            os.path.join(self.build_dir, "TAppDecoderStatic"),
+            "-b", out_filepath, "-o", yuv_path, "-d", 8,
+        ]
+        if self.rgb:
+            cmd.append("--OutputInternalColourSpace=GBRtoRGB")
+        return cmd
+
+
+class AV1(RawYUVCodec):
+    """AV1 (AOM reference software) wrapper (reference ``codecs.py:777-900``).
+    Quality = cq-level in [0, 63]; always YCbCr."""
+
+    fmt = ".webm"
+
+    def __init__(self, build_dir=""):
+        super().__init__()
+        self.build_dir = build_dir
+
+    @property
+    def name(self):
+        return "AV1"
+
+    @property
+    def description(self):
+        return "AV1"
+
+    def add_parser_args(self, parser):
+        parser.add_argument("-b", "--build-dir", dest="build_dir", default="",
+                            help="AOM binaries dir")
+
+    def set_args(self, args):
+        self.build_dir = getattr(args, "build_dir", self.build_dir)
+
+    def _encode_cmd(self, yuv_path, width, height, quality, out_filepath):
+        if not 0 <= quality <= 63:
+            raise ValueError(f"Invalid quality value: {quality} (0,63)")
+        return [
+            os.path.join(self.build_dir, "aomenc"),
+            "-w", width, "-h", height, "--fps=1/1", "--limit=1",
+            "--input-bit-depth=8", "--cpu-used=0", "--threads=1",
+            "--passes=2", "--end-usage=q", f"--cq-level={quality}",
+            "--i444", "--skip=0", "--tune=psnr", "--psnr", "--bit-depth=8",
+            "-o", out_filepath, yuv_path,
+        ]
+
+    def _decode_cmd(self, out_filepath, yuv_path):
+        return [
+            os.path.join(self.build_dir, "aomdec"), out_filepath,
+            "-o", yuv_path, "--rawvideo", "--output-bit-depth=8",
+        ]
 
 
 def _ver():  # pragma: no cover

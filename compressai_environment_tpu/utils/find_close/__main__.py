@@ -10,9 +10,9 @@ from __future__ import annotations
 import argparse
 import sys
 
-from ..bench.codecs import BPG, JPEG, JPEG2000, Codec, WebP
+from ..bench.codecs import AV1, BPG, HM, JPEG, JPEG2000, TFCI, VTM, Codec, WebP
 
-codecs = [JPEG, WebP, JPEG2000, BPG]
+codecs = [JPEG, WebP, JPEG2000, BPG, TFCI, VTM, HM, AV1]
 
 
 def get_codec_q_bounds(codec: Codec):
@@ -25,6 +25,14 @@ def get_codec_q_bounds(codec: Codec):
     elif isinstance(codec, JPEG2000):
         lower, upper = 1, 1000
         rev = True
+    elif isinstance(codec, HM):
+        lower, upper = 0, 51
+        rev = True
+    elif isinstance(codec, (VTM, AV1)):  # QP / cq-level: higher = worse
+        lower, upper = 0, 63
+        rev = True
+    elif isinstance(codec, TFCI):
+        lower, upper = 1, 8
     else:
         lower, upper = 0, 100
     return lower, upper, rev
@@ -77,9 +85,19 @@ def setup_args():
 
 
 def main(argv):
-    args = setup_args().parse_args(argv)
-    codec_cls = next(c for c in codecs if c.__name__.lower() == args.codec)
-    quality, rv = find_closest(codec_cls(), args.image, args.target, args.metric)
+    # two-pass parse so codec-specific options (e.g. VTM --build-dir) are
+    # accepted after the base arguments
+    base, rest = setup_args().parse_known_args(argv)
+    codec_cls = next(c for c in codecs if c.__name__.lower() == base.codec)
+    codec = codec_cls()
+    extra = argparse.ArgumentParser()
+    codec.add_parser_args(extra)
+    if hasattr(codec, "set_args"):
+        codec.set_args(extra.parse_args(rest))
+    elif rest:
+        extra.parse_args(rest)  # raise on unknown options
+    args = base
+    quality, rv = find_closest(codec, args.image, args.target, args.metric)
     import json
 
     print(json.dumps({"quality": quality, "results": rv}, indent=2))
