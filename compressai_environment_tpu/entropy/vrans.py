@@ -44,6 +44,7 @@ __all__ = [
     "encode_interleaved_batch",
     "decode_interleaved_batch",
     "build_decode_lut",
+    "EncodeDeviceHandle",
     "DEFAULT_LANES",
 ]
 
@@ -112,20 +113,6 @@ def _encode_scan(starts, freqs, T: int):
     return words, valid, x_final
 
 
-def _encode_scan_dispatch(starts, freqs, T: int):
-    """Choose the encode-scan backend: the Pallas TPU kernel when opted in
-    (COMPRESSAI_TPU_PALLAS=1) and verified on this backend, else lax.scan.
-    Both are bit-identical (tested)."""
-    import os
-
-    if os.environ.get("COMPRESSAI_TPU_PALLAS") == "1":
-        from .pallas_rans import encode_scan_pallas, pallas_available
-
-        if starts.shape[1] % 128 == 0 and pallas_available():
-            return encode_scan_pallas(starts, freqs)
-    return _encode_scan(starts, freqs, T)
-
-
 @partial(jax.jit, static_argnames=("T", "w_cap"))
 def _encode_scan_packed(starts, freqs, T: int, w_cap: int):
     """Encode + on-device stream compaction.
@@ -136,7 +123,7 @@ def _encode_scan_packed(starts, freqs, T: int, w_cap: int):
     (T, L) emission matrix.
     """
     lanes = starts.shape[1]
-    words, valid, state = _encode_scan_dispatch(starts, freqs, T)
+    words, valid, state = _encode_scan(starts, freqs, T)
 
     pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
     rows_idx = jnp.where(valid, pos + 2, w_cap)  # invalid -> dumped row
@@ -808,68 +795,67 @@ def decode_interleaved(
 # ---------------------------------------------------------------------------
 
 
-def encode_batch_device(symbols_dev, indexes_dev, tables, lanes: int = DEFAULT_LANES):
-    """Encode (B, n) device symbol/index arrays into per-image blobs.
+class EncodeDeviceHandle:
+    """Two-phase device encode: construction dispatches all device work and
+    starts async host copies of the (small) per-lane counts; ``result()``
+    fetches the entropy-sized stream and packs blobs. Interleaving several
+    handles overlaps chunk i's D2H with chunk i+1's compute — device work is
+    queued asynchronously, only ``result()`` blocks."""
 
-    Byte-identical to :func:`encode_interleaved_batch` on the same inputs.
-    Uses the packed-table core (one fused (start|freq) gather, on-device
-    stream compaction, entropy-sized download) when the tables fit the
-    packed ranges; else the generic core.
-    """
-    B, n = symbols_dev.shape
-    T = _lane_layout(n, lanes)
-    w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
-    raw_cap = max(256, n // 32)
-    pt = tables.device_packed
-
-    if pt is not None:
-        flat_dev, counts, overflow, raw, raw_counts, raw_ovf = (
-            _encode_device_core2(
+    def __init__(self, symbols_dev, indexes_dev, tables,
+                 lanes: int = DEFAULT_LANES):
+        B, n = symbols_dev.shape
+        self._B, self._n, self._lanes = B, n, lanes
+        self._tables = tables
+        self._symbols = symbols_dev
+        self._indexes = indexes_dev
+        T = _lane_layout(n, lanes)
+        self._w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
+        raw_cap = max(256, n // 32)
+        pt = tables.device_packed
+        self._pt = pt
+        if pt is not None:
+            out = _encode_device_core2(
                 symbols_dev, indexes_dev, pt["cdf2"], pt["mo"],
-                T, lanes, w_cap, raw_cap,
+                T, lanes, self._w_cap, raw_cap,
             )
-        )
-        counts_np = np.asarray(counts).astype(np.int64)
-        if bool(overflow) or bool(raw_ovf):
+            (self._flat_dev, self._counts, self._overflow, self._raw,
+             self._raw_counts, self._raw_ovf) = out
+            for a in (self._counts, self._raw_counts, self._overflow,
+                      self._raw_ovf):
+                a.copy_to_host_async()
+
+    def result(self):
+        if self._pt is None:
+            return encode_batch_device_generic(
+                self._symbols, self._indexes, self._tables, self._lanes
+            )
+        B, n, lanes = self._B, self._n, self._lanes
+        tables = self._tables
+        counts_np = np.asarray(self._counts).astype(np.int64)
+        if bool(self._overflow) or bool(self._raw_ovf):
             return encode_interleaved_batch(
-                np.asarray(symbols_dev), np.asarray(indexes_dev),
+                np.asarray(self._symbols), np.asarray(self._indexes),
                 tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
             )
         total = int(counts_np.sum())
         # entropy-sized download; bucket the slice length so repeat calls
         # with different stream sizes reuse one compiled slice program
-        bucket = min(-(-total // 65536) * 65536, int(flat_dev.shape[0]))
-        flat = np.asarray(flat_dev[:bucket])[:total]
-        raw_counts_np = np.asarray(raw_counts).astype(np.int64)
+        bucket = min(-(-total // 65536) * 65536, int(self._flat_dev.shape[0]))
+        flat = np.asarray(self._flat_dev[:bucket])[:total]
+        raw_counts_np = np.asarray(self._raw_counts).astype(np.int64)
         max_raw = int(raw_counts_np.max()) if B else 0
         if max_raw:
-            rb = min(1 << (max_raw - 1).bit_length(), int(raw.shape[1]))
-            raw_np = np.asarray(raw[:, :rb])
+            rb = min(1 << (max_raw - 1).bit_length(), int(self._raw.shape[1]))
+            raw_np = np.asarray(self._raw[:, :rb])
         else:
             raw_np = np.zeros((B, 0), np.uint32)
-    else:
-        dev = tables.device
-        packed, counts, overflow, raw, raw_counts, raw_ovf = _encode_device_core(
-            symbols_dev, indexes_dev, dev["cdf"], dev["sizes"], dev["offsets"],
-            T, lanes, w_cap, raw_cap,
+        return _pack_device_blobs(
+            B, n, lanes, counts_np, flat, raw_np, raw_counts_np
         )
-        if bool(overflow) or bool(raw_ovf):
-            # pathological stream: host fallback
-            return encode_interleaved_batch(
-                np.asarray(symbols_dev), np.asarray(indexes_dev),
-                tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
-            )
 
-        packed_np = np.asarray(packed)  # (w_cap, B*lanes) uint16
-        counts_np = np.asarray(counts).astype(np.int64)
-        raw_np = np.asarray(raw)
-        raw_counts_np = np.asarray(raw_counts).astype(np.int64)
 
-        # vectorized per-lane trim: column-major mask selection keeps
-        # per-lane words contiguous in ascending order
-        mask = np.arange(w_cap)[:, None] < counts_np[None, :]
-        flat = packed_np.T[mask.T]  # concatenated per-lane words, lane-major
-
+def _pack_device_blobs(B, n, lanes, counts_np, flat, raw_np, raw_counts_np):
     lane_bounds = np.concatenate([[0], np.cumsum(counts_np)])
     blobs = []
     for b in range(B):
@@ -883,6 +869,48 @@ def encode_batch_device(symbols_dev, indexes_dev, tables, lanes: int = DEFAULT_L
             raw_np[b, : raw_counts_np[b]].astype("<u4").tobytes(),
         ]))
     return blobs
+
+
+def encode_batch_device(symbols_dev, indexes_dev, tables, lanes: int = DEFAULT_LANES):
+    """Encode (B, n) device symbol/index arrays into per-image blobs.
+
+    Byte-identical to :func:`encode_interleaved_batch` on the same inputs.
+    Uses the packed-table core (one fused (start|freq) gather, on-device
+    stream compaction, entropy-sized download) when the tables fit the
+    packed ranges; else the generic core.
+    """
+    return EncodeDeviceHandle(symbols_dev, indexes_dev, tables, lanes).result()
+
+
+def encode_batch_device_generic(symbols_dev, indexes_dev, tables,
+                                lanes: int = DEFAULT_LANES):
+    """Generic-table fallback for :func:`encode_batch_device`."""
+    B, n = symbols_dev.shape
+    T = _lane_layout(n, lanes)
+    w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
+    raw_cap = max(256, n // 32)
+    dev = tables.device
+    packed, counts, overflow, raw, raw_counts, raw_ovf = _encode_device_core(
+        symbols_dev, indexes_dev, dev["cdf"], dev["sizes"], dev["offsets"],
+        T, lanes, w_cap, raw_cap,
+    )
+    if bool(overflow) or bool(raw_ovf):
+        # pathological stream: host fallback
+        return encode_interleaved_batch(
+            np.asarray(symbols_dev), np.asarray(indexes_dev),
+            tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
+        )
+
+    packed_np = np.asarray(packed)  # (w_cap, B*lanes) uint16
+    counts_np = np.asarray(counts).astype(np.int64)
+    raw_np = np.asarray(raw)
+    raw_counts_np = np.asarray(raw_counts).astype(np.int64)
+
+    # vectorized per-lane trim: column-major mask selection keeps
+    # per-lane words contiguous in ascending order
+    mask = np.arange(w_cap)[:, None] < counts_np[None, :]
+    flat = packed_np.T[mask.T]  # concatenated per-lane words, lane-major
+    return _pack_device_blobs(B, n, lanes, counts_np, flat, raw_np, raw_counts_np)
 
 
 def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None):

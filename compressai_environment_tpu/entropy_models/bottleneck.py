@@ -207,17 +207,7 @@ def compress(x, medians: np.ndarray, tables: CdfTables, fmt: str = "rans"):
     lanes; quantization, escape folding and coding all happen on device).
     """
     if fmt == "tpu":
-        from ..entropy import vrans
-
-        x = jnp.asarray(x)
-        b, c = x.shape[0], x.shape[-1]
-        symbols = jnp.round(
-            x - jnp.asarray(medians).reshape(-1)
-        ).astype(jnp.int32).reshape(b, -1)
-        indexes = jnp.broadcast_to(
-            jnp.arange(c, dtype=jnp.int32), x.shape
-        ).reshape(b, -1)
-        return vrans.encode_batch_device(symbols, indexes, tables)
+        return compress_async(x, medians, tables).result()
 
     # "rans": reference layout — each batch element is flattened
     # channel-major (C, *spatial), matching torch NCHW ``reshape(-1)`` in
@@ -234,6 +224,23 @@ def compress(x, medians: np.ndarray, tables: CdfTables, fmt: str = "rans"):
     )
     indexes = np.broadcast_to(indexes, xm.shape)
     return compress_symbols(symbols, indexes, tables)
+
+
+def compress_async(x, medians: np.ndarray, tables: CdfTables):
+    """Two-phase "tpu"-format encode: dispatches all device work and returns
+    a handle; ``handle.result()`` fetches + packs blobs. Lets callers overlap
+    one chunk's D2H with the next chunk's compute."""
+    from ..entropy import vrans
+
+    x = jnp.asarray(x)
+    b, c = x.shape[0], x.shape[-1]
+    symbols = jnp.round(
+        x - jnp.asarray(medians).reshape(-1)
+    ).astype(jnp.int32).reshape(b, -1)
+    indexes = jnp.broadcast_to(
+        jnp.arange(c, dtype=jnp.int32), x.shape
+    ).reshape(b, -1)
+    return vrans.EncodeDeviceHandle(symbols, indexes, tables)
 
 
 def decompress(strings, spatial_shape, medians: np.ndarray, tables: CdfTables,

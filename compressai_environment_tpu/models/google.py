@@ -112,6 +112,31 @@ class FactorizedPrior(CompressionModel):
         )
         return {"strings": [y_strings], "shape": tuple(y.shape[1:3])}
 
+    def compress_async(self, x):
+        """Two-phase compress ("tpu" stream format only): dispatches the
+        analysis transform + on-device entropy coding without blocking and
+        returns a handle whose ``result()`` yields the ``compress`` dict.
+        Interleaving handles across sub-batches overlaps D2H stream
+        downloads with the next sub-batch's compute."""
+        if self.stream_format != "tpu":
+            out = self.compress(x)
+            return type("_Done", (), {"result": staticmethod(lambda: out)})()
+        self._require_tables("y")
+        x = self._nhwc(x)
+        encode = self._jitted(
+            "encode", lambda p, v: self.net.apply(p, v, method=FactorizedPriorNet.encode)
+        )
+        y = encode({"params": self.params}, x)
+        handle = eb_ops.compress_async(y, self._medians(), self.tables["y"])
+        shape = tuple(y.shape[1:3])
+
+        class _Handle:
+            @staticmethod
+            def result():
+                return {"strings": [handle.result()], "shape": shape}
+
+        return _Handle()
+
     def decompress(self, strings, shape):
         assert isinstance(strings, list) and len(strings) == 1
         self._require_tables("y")

@@ -173,30 +173,3 @@ class TestDeviceResidentAPI:
         assert dev_blobs == host_blobs
         out = decode_batch_device(dev_blobs, jnp.asarray(indexes), tables)
         np.testing.assert_array_equal(np.asarray(out), symbols)
-
-
-class TestPallasKernel:
-    def test_pallas_matches_scan(self, rng):
-        """Pallas encode kernel (interpret mode on CPU) is bit-identical to
-        the lax.scan reference."""
-        import jax.numpy as jnp
-
-        from compressai_environment_tpu.entropy import vrans
-        from compressai_environment_tpu.entropy.pallas_rans import (
-            encode_scan_pallas,
-            pallas_available,
-        )
-
-        assert pallas_available()
-        T, lanes = 64, 256
-        freqs = rng.integers(1, 1 << 15, size=(T, lanes)).astype(np.uint32)
-        starts = rng.integers(0, 1 << 15, size=(T, lanes)).astype(np.uint32)
-        w1, v1, s1 = encode_scan_pallas(
-            jnp.asarray(starts), jnp.asarray(freqs), interpret=True
-        )
-        w2, v2, s2 = vrans._encode_scan(jnp.asarray(starts), jnp.asarray(freqs), T)
-        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
-        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
-        np.testing.assert_array_equal(
-            np.asarray(w1)[np.asarray(v1)], np.asarray(w2)[np.asarray(v2)]
-        )
