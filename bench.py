@@ -225,7 +225,8 @@ def main():
     )
     ar.update(force=True)
     ar.stream_format = "tpu"
-    xa = x[:1]
+    AR_B = 8  # all images ride the same wavefront in one program
+    xa = x[:AR_B]
     for _ in range(2):
         ca = ar.compress(xa)
         da = ar.decompress(ca["strings"], ca["shape"])
@@ -236,7 +237,7 @@ def main():
     da = ar.decompress(ca["strings"], ca["shape"])
     jax.block_until_ready(da["x_hat"])
     t2 = time.perf_counter()
-    ar_enc, ar_dec = t1 - t0, t2 - t1
+    ar_enc, ar_dec = (t1 - t0) / AR_B, (t2 - t1) / AR_B
 
     print(
         json.dumps(
@@ -258,6 +259,7 @@ def main():
                     ),
                     "phases_ms": phases,
                     "rate_calibration": rate_scale,
+                    "mbt2018_ar_batch": AR_B,
                     "mbt2018_ar_encode_s_per_img": round(ar_enc, 3),
                     "mbt2018_ar_decode_s_per_img": round(ar_dec, 3),
                     "mbt2018_ref_cuda_enc_dec_s": [2.7, 5.9],

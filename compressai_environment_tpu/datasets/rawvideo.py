@@ -101,52 +101,56 @@ def make_dtype(format: VideoFormat, value_type, width: int, height: int) -> np.d
     )
 
 
+# Filename metadata tokens, per the public Vooya naming spec
+# (offminor.de/vooya-usage.html#vf: name_WIDTHxHEIGHT[_FPS(Hz|fps)]
+# [_BITSbit][_P420|...].yuv) with GStreamer/ffmpeg format spellings
+# (I420_10LE, yuv420p10le). Compiled once; each field parses independently.
+_SIZE_RE = re.compile(r"(\d+)x(\d+)")
+_RATE_RE = re.compile(r"([\d.]+)(?:Hz|fps)")
+_DEPTH_RE = re.compile(r"(\d+)bit")
+_FORMAT_RE = re.compile(
+    "({})".format("|".join(video_formats))
+    # optional fused bitdepth+endianness suffix; both GStreamer "10LE"
+    # and ffmpeg "10le" casings
+    + r"(?:[p_]?(\d+)(LE|BE|le|be))?"
+)
+_EXT_RE = re.compile("({})".format("|".join(file_extensions)))
+
+
 def get_raw_video_file_info(filename: str) -> Dict[str, Any]:
-    """Deduce size/framerate/bitdepth/format from a Vooya-style filename."""
-    size_pattern = r"(?P<width>\d+)x(?P<height>\d+)"
-    framerate_pattern = r"(?P<framerate>[\d\.]+)(?:Hz|fps)"
-    bitdepth_pattern = r"(?P<bitdepth>\d+)bit"
-    formats = "|".join(video_formats.keys())
-    # endianness accepts both GStreamer (10LE) and ffmpeg (10le) spellings
-    format_pattern = (
-        rf"(?P<format>{formats})(?:[p_]?(?P<bitdepth2>\d+)(?P<endianness>LE|BE|le|be))?"
-    )
-    extension_pattern = rf"(?P<extension>{'|'.join(file_extensions)})"
-    cut_pattern = "([0-9]+)-([0-9]+)"
+    """Deduce width/height/framerate/bitdepth/format/extension from a
+    Vooya/GStreamer/ffmpeg-style raw-video filename. Unrecognized fields are
+    simply absent from the result; an empty dict means nothing matched."""
+    out: Dict[str, Any] = {}
 
-    info: Dict[str, Any] = {}
-    for pattern in (
-        size_pattern,
-        framerate_pattern,
-        bitdepth_pattern,
-        format_pattern,
-        cut_pattern,
-        extension_pattern,
-    ):
-        match = re.search(pattern, filename)
-        if match:
-            info.update(match.groupdict())
+    if m := _SIZE_RE.search(filename):
+        out["width"], out["height"] = int(m.group(1)), int(m.group(2))
 
-    if not info:
-        return {}
+    if m := _RATE_RE.search(filename):
+        tok = m.group(1)
+        # NTSC-style rates map to their exact fractions
+        out["framerate"] = framerate_to_fraction.get(tok, Fraction(tok))
 
-    if info.get("bitdepth") and info.get("bitdepth2") and info["bitdepth"] != info["bitdepth2"]:
+    explicit_depth = None
+    if m := _DEPTH_RE.search(filename):
+        explicit_depth = m.group(1)
+
+    fused_depth = None
+    if m := _FORMAT_RE.search(filename):
+        fmt, fused_depth, endian = m.groups()
+        out["format"] = video_formats.get(fmt.lower(), fmt)
+        if endian is not None:
+            out["endianness"] = endian.lower()
+
+    if explicit_depth and fused_depth and explicit_depth != fused_depth:
         raise ValueError(f'Filename "{filename}" specifies bit-depth twice.')
-    if info.get("bitdepth2"):
-        info["bitdepth"] = info["bitdepth2"]
-    info.pop("bitdepth2", None)
+    depth = fused_depth or explicit_depth
+    if depth is not None:
+        out["bitdepth"] = int(depth)
 
-    out: Dict[str, Any] = dict(info)
-    if info.get("format") is not None:
-        out["format"] = video_formats.get(info["format"].lower(), info["format"])
-    if info.get("endianness") is not None:
-        out["endianness"] = info["endianness"].lower()
-    if info.get("framerate") is not None:
-        fr = info["framerate"]
-        out["framerate"] = framerate_to_fraction.get(fr, Fraction(fr))
-    for key in ("width", "height", "bitdepth"):
-        if info.get(key) is not None:
-            out[key] = int(info[key])
+    if m := _EXT_RE.search(filename):
+        out["extension"] = m.group(1)
+
     return out
 
 

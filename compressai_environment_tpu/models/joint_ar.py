@@ -180,31 +180,30 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         y = y.astype(jnp.float32)
 
         # AR symbols via the device wavefront scheduler (symbol-exact with the
-        # serial raster scan); stream format:
+        # serial raster scan), batched over images — all images advance the
+        # same anti-diagonal step together in one program. Stream format:
         #   "rans": single raster-order stream per image (reference layout)
         #   "tpu":  one rANS lane per (row, channel) so decode can follow the
         #           same wavefront on device. y/params stay device-resident.
         from ..parallel.wavefront import (
-            encode_ar_lanes_device,
-            wavefront_encode_symbols,
+            encode_ar_lanes_device_batch,
+            wavefront_encode_symbols_batch,
         )
 
         w8 = self._ar_weights_device()
         tables = self.tables["y"]
-        y_strings = []
-        for b in range(y.shape[0]):
-            symbols, indexes, _ = wavefront_encode_symbols(
-                y[b], params_hs[b], w8, self.scale_table
+        symbols, indexes, _ = wavefront_encode_symbols_batch(
+            y, params_hs, w8, self.scale_table
+        )
+        if self.stream_format == "tpu":
+            y_strings = encode_ar_lanes_device_batch(symbols, indexes, tables)
+        else:
+            B = y.shape[0]
+            y_strings = coder.encode_batch(
+                np.asarray(symbols).reshape(B, -1),
+                np.asarray(indexes).reshape(B, -1),
+                tables.quantized_cdf, tables.cdf_length, tables.offset,
             )
-            if self.stream_format == "tpu":
-                y_strings.append(encode_ar_lanes_device(symbols, indexes, tables))
-            else:
-                y_strings.append(
-                    coder.encode_with_indexes(
-                        np.asarray(symbols), np.asarray(indexes),
-                        tables.quantized_cdf, tables.cdf_length, tables.offset,
-                    )
-                )
         return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
 
     def _compress_ar(self, y, params_hs, height, width, pad) -> bytes:
@@ -262,18 +261,13 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         y_h, y_w = shape[0] * s, shape[1] * s
 
         if self.stream_format == "tpu":
-            from ..parallel.wavefront import wavefront_decode
+            from ..parallel.wavefront import wavefront_decode_batch
 
             w8 = self._ar_weights_device()
-            y_hat = np.stack([
-                np.asarray(
-                    wavefront_decode(
-                        y_string, params_hs[b], w8, self.tables["y"],
-                        self.scale_table, y_h, y_w,
-                    )
-                )
-                for b, y_string in enumerate(strings[0])
-            ])
+            y_hat = wavefront_decode_batch(
+                strings[0], params_hs, w8, self.tables["y"],
+                self.scale_table, y_h, y_w,
+            )
         else:
             y_hat = np.zeros((len(strings[0]), y_h, y_w, self.M), np.float32)
             for b, y_string in enumerate(strings[0]):

@@ -29,9 +29,12 @@ from ..layers import causal_mask
 __all__ = [
     "ARWeightsDevice",
     "wavefront_encode_symbols",
+    "wavefront_encode_symbols_batch",
     "encode_ar_lanes",
     "encode_ar_lanes_device",
+    "encode_ar_lanes_device_batch",
     "wavefront_decode",
+    "wavefront_decode_batch",
 ]
 
 _K = 5  # context kernel size
@@ -77,8 +80,7 @@ def _ep_apply(ep, v):
     return v
 
 
-@partial(jax.jit, static_argnames=("H", "W", "M"))
-def _wavefront_encode(y, params_hs, weights, scale_table, H: int, W: int, M: int):
+def _wavefront_encode_impl(y, params_hs, weights, scale_table, H: int, W: int, M: int):
     """y: (H, W, M); params_hs: (H, W, 2M). Returns (symbols, indexes,
     y_hat) each (H, W, M) — identical to the serial raster AR encode."""
     ctx_kernel = weights["ctx_kernel"]
@@ -135,6 +137,24 @@ def _wavefront_encode(y, params_hs, weights, scale_table, H: int, W: int, M: int
     return symbols, indexes, y_hat[_PAD : _PAD + H, _PAD : _PAD + W]
 
 
+_wavefront_encode = partial(jax.jit, static_argnames=("H", "W", "M"))(
+    _wavefront_encode_impl
+)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "M"))
+def _wavefront_encode_batched(y, params_hs, weights, scale_table,
+                              H: int, W: int, M: int):
+    """vmapped wavefront encode over a batch: (B, H, W, M) in, (B, ...) out.
+    One traced program; all images advance the same wavefront step together
+    (the gathers/GEMMs batch across images as a leading axis)."""
+    return jax.vmap(
+        lambda yy, pp: _wavefront_encode_impl(
+            yy, pp, weights, scale_table, H, W, M
+        )
+    )(y, params_hs)
+
+
 def wavefront_encode_symbols(y, params_hs, weights: ARWeightsDevice, scale_table):
     """AR-encode one image's latents on device.
 
@@ -148,6 +168,20 @@ def wavefront_encode_symbols(y, params_hs, weights: ARWeightsDevice, scale_table
     """
     H, W, M = y.shape
     return _wavefront_encode(
+        jnp.asarray(y), jnp.asarray(params_hs), weights.tree(),
+        jnp.asarray(scale_table), H, W, M,
+    )
+
+
+def wavefront_encode_symbols_batch(y, params_hs, weights: ARWeightsDevice,
+                                   scale_table):
+    """AR-encode a batch of images' latents in one device program.
+
+    y: (B, H, W, M); params_hs: (B, H, W, 2M). Returns (symbols, indexes,
+    y_hat) each (B, H, W, M), identical per image to
+    :func:`wavefront_encode_symbols`."""
+    B, H, W, M = y.shape
+    return _wavefront_encode_batched(
         jnp.asarray(y), jnp.asarray(params_hs), weights.tree(),
         jnp.asarray(scale_table), H, W, M,
     )
@@ -274,6 +308,104 @@ def _ar_lane_encode_core(symbols, indexes, cdf2, mo, H: int, W: int, M: int,
     return flat, counts, overflow
 
 
+@partial(jax.jit, static_argnames=("B", "H", "W", "M", "w_cap"))
+def _ar_lane_encode_core_batched(symbols, indexes, cdf2, mo,
+                                 B: int, H: int, W: int, M: int, w_cap: int):
+    """Batched device AR lane encode: (B, H, W, M) planes code in ONE lane
+    scan of width B*H*M. Per-image byte-compatibility with the single-image
+    core follows from lane independence (lane b*H*M + h*M + c codes image
+    b's (h, c) row exactly as before)."""
+    from ..entropy.vrans import _MASK16
+
+    lanes = B * H * M
+    m = mo[indexes]
+    offset = (m & _MASK16).astype(jnp.int32) - 32768
+    maxv = (m >> np.uint32(16)).astype(jnp.int32)
+    value = symbols - offset
+    neg = value < 0
+    over = value >= maxv
+    esc = neg | over
+    raw = jnp.where(neg, (-2 * value - 1), 2 * (value - maxv)).astype(jnp.uint32)
+    raw = jnp.where(esc, raw, 0)
+    coded = jnp.where(esc, maxv, value)
+
+    v = cdf2[indexes, coded]
+    starts = v & _MASK16
+    freqs = (v >> np.uint32(16)) + np.uint32(1)
+
+    def to_lanes(a):
+        # (B, H, W, M) -> (W, B*H*M) with lane = b*H*M + h*M + c
+        return a.transpose(2, 0, 1, 3).reshape(W, lanes)
+
+    words, valid, state = _lane_encode_scan(
+        to_lanes(starts), to_lanes(freqs), to_lanes(esc), to_lanes(raw), W
+    )
+
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
+    rows_idx = jnp.where(valid, pos + 2, w_cap)
+    lane_iota = jnp.broadcast_to(jnp.arange(lanes)[None, :], rows_idx.shape)
+    packed = jnp.zeros((w_cap + 1, lanes), jnp.uint32)
+    packed = packed.at[rows_idx, lane_iota].set(words, mode="drop")
+    packed = packed.at[0].set(state & _MASK16)
+    packed = packed.at[1].set(state >> np.uint32(16))
+    counts = valid.sum(axis=0).astype(jnp.int32) + 2
+    overflow = jnp.any(counts > w_cap)
+
+    lane_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    jj = jnp.arange(w_cap)[:, None]
+    dst = jnp.where(jj < counts[None, :], lane_off[None, :] + jj, w_cap * lanes)
+    flat = jnp.zeros((w_cap * lanes + 1,), jnp.uint16)
+    flat = flat.at[dst].set(
+        packed[:w_cap].astype(jnp.uint16), mode="drop"
+    )[: w_cap * lanes]
+    return flat, counts, overflow
+
+
+def encode_ar_lanes_device_batch(symbols_dev, indexes_dev, tables) -> list:
+    """Batched :func:`encode_ar_lanes_device`: (B, H, W, M) planes in one
+    device program; returns per-image blobs, byte-identical to per-image
+    calls."""
+    pt = tables.device_packed
+    B, H, W, M = symbols_dev.shape
+    if pt is None:
+        return [
+            encode_ar_lanes(np.asarray(symbols_dev[b]),
+                            np.asarray(indexes_dev[b]), tables)
+            for b in range(B)
+        ]
+    lanes = H * M
+    w_cap = min(3 * W + 2, max(16, (W * 24) // 16 + 4))
+    flat_dev, counts, overflow = _ar_lane_encode_core_batched(
+        jnp.asarray(symbols_dev), jnp.asarray(indexes_dev),
+        pt["cdf2"], pt["mo"], B, H, W, M, w_cap,
+    )
+    counts_np = np.asarray(counts).astype(np.int64)
+    if bool(overflow):
+        return [
+            encode_ar_lanes(np.asarray(symbols_dev[b]),
+                            np.asarray(indexes_dev[b]), tables)
+            for b in range(B)
+        ]
+    total = int(counts_np.sum())
+    bucket = min(-(-total // 65536) * 65536, int(flat_dev.shape[0]))
+    stream = np.asarray(flat_dev[:bucket])[:total]
+
+    bounds = np.concatenate([[0], np.cumsum(counts_np)])
+    blobs = []
+    for b in range(B):
+        lo = bounds[b * lanes]
+        hi = bounds[(b + 1) * lanes]
+        header = np.array([H * W * M, lanes], dtype="<u4")
+        blobs.append(b"".join([
+            header.tobytes(),
+            counts_np[b * lanes : (b + 1) * lanes].astype("<u4").tobytes(),
+            stream[lo:hi].astype("<u2").tobytes(),
+        ]))
+    return blobs
+
+
 def encode_ar_lanes_device(symbols_dev, indexes_dev, tables) -> bytes:
     """Device-resident :func:`encode_ar_lanes`: escape folding, the lane
     scan, and stream compaction all run on device; the host downloads only
@@ -385,8 +517,7 @@ def _unpack_ar_blob(blob: bytes, H: int, M: int):
     return flat, counts, max_w
 
 
-@partial(jax.jit, static_argnames=("H", "W", "M", "max_w"))
-def _wavefront_decode(flat, counts, params_hs, weights, scale_table, lut, cdf,
+def _wavefront_decode_impl(flat, counts, params_hs, weights, scale_table, lut, cdf,
                       offsets, max_values, H: int, W: int, M: int, max_w: int):
     """Lane-parallel AR decode.
 
@@ -521,6 +652,180 @@ def _wavefront_decode(flat, counts, params_hs, weights, scale_table, lut, cdf,
         0, T, step, (y_hat0, x0, jnp.zeros((lanes,), jnp.int32))
     )
     return y_hat[_PAD : _PAD + H, _PAD : _PAD + W]
+
+
+_wavefront_decode = partial(
+    jax.jit, static_argnames=("H", "W", "M", "max_w")
+)(_wavefront_decode_impl)
+
+
+@partial(jax.jit, static_argnames=("B", "H", "W", "M", "max_w"))
+def _wavefront_decode_batched(flat, counts, params_hs, weights, scale_table,
+                              lut, cdf, offsets, max_values,
+                              B: int, H: int, W: int, M: int, max_w: int):
+    """Hand-batched AR decode: images ride as extra rANS lanes
+    (B*H*M wide), NOT via vmap — under vmap the escape ``lax.cond``
+    degenerates to executing both branches every step (2 extra renorm
+    gathers), which measured 2-4x slower. Here the escape predicate stays a
+    scalar ``any`` over all images, so the rare-escape fast path survives
+    batching. flat: (B, cap) uint16; counts: (B, lanes); params_hs:
+    (B, H, W, 2M) -> y_hat (B, H, W, M)."""
+    ctx_kernel = weights["ctx_kernel"]
+    ctx_bias = weights["ctx_bias"]
+    ep = weights["ep"]
+    lanes_img = H * M
+    lanes = B * lanes_img
+
+    # per-image stream expansion, then fold images into the lane axis
+    cap = flat.shape[1]
+    bounds = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(counts, axis=1)[:, :-1]],
+        axis=1,
+    )  # (B, lanes_img)
+    flat32 = flat.astype(jnp.uint32)
+    b_iota = jnp.arange(B)[:, None]
+    x0 = (
+        flat32[b_iota, jnp.minimum(bounds, cap - 1)]
+        | (flat32[b_iota, jnp.minimum(bounds + 1, cap - 1)] << np.uint32(16))
+    ).reshape(lanes)
+    jj = jnp.arange(max_w)[None, :, None]
+    src = bounds[:, None, :] + 2 + jj  # (B, max_w, lanes_img)
+    words = jnp.where(
+        jj < (counts - 2)[:, None, :],
+        flat32[b_iota[:, :, None], jnp.minimum(src, cap - 1)],
+        jnp.uint32(0),
+    ).transpose(1, 0, 2).reshape(max_w, lanes)
+
+    A = min(H, (W + 2) // 3 + 1)
+    T = 3 * (H - 1) + W
+    lane_iota = jnp.arange(lanes)
+    y_hat0 = jnp.zeros((B, H + 2 * _PAD, W + 2 * _PAD, M), jnp.float32)
+
+    def renorm(x, cursor):
+        need = x < _LANE_L
+        w = words[jnp.minimum(cursor, words.shape[0] - 1), lane_iota]
+        x = jnp.where(need, (x << np.uint32(16)) | w, x)
+        return x, cursor + need.astype(jnp.int32)
+
+    def get_bits16(x, cursor):
+        val = (x & _LANE_MASK).astype(jnp.uint32)
+        x = x >> np.uint32(16)
+        x, cursor = renorm(x, cursor)
+        return val, x, cursor
+
+    def step(t, carry):
+        y_hat, x, cursor = carry
+        h_lo = jnp.maximum(0, (t - W + 3) // 3)
+        hs = h_lo + jnp.arange(A)
+        ws = t - 3 * hs
+        active = (hs < H) & (ws >= 0) & (ws < W)
+        hs_c = jnp.clip(hs, 0, H - 1)
+        ws_c = jnp.clip(ws, 0, W - 1)
+
+        crops = jax.vmap(
+            lambda img: jax.vmap(
+                lambda h, w: jax.lax.dynamic_slice(img, (h, w, 0), (_K, _K, M))
+            )(hs_c, ws_c)
+        )(y_hat)  # (B, A, K, K, M)
+        ctx = crops.reshape(B * A, -1) @ ctx_kernel + ctx_bias
+        p = params_hs[:, hs_c, ws_c].reshape(B * A, -1)
+        gp = _ep_apply(ep, jnp.concatenate([p, ctx], axis=-1))
+        scales_hat = gp[:, :M].reshape(B, A, M)
+        means_hat = gp[:, M:].reshape(B, A, M)
+        idx_a = jnp.searchsorted(
+            scale_table[:-1], jnp.maximum(scales_hat, 0.11), side="left"
+        ).astype(jnp.int32)
+
+        # active rows' per-channel CDF indexes -> (B, lanes_img) planes
+        lane_rows = (
+            jnp.where(active, hs_c, H)[:, None] * M + jnp.arange(M)[None, :]
+        ).reshape(-1)  # (A*M,) shared across images
+        idx_lane = (
+            jnp.zeros((B, lanes_img + M), jnp.int32)
+            .at[:, lane_rows].set(idx_a.reshape(B, -1), mode="drop")
+            [:, :lanes_img].reshape(lanes)
+        )
+        lane_active = (
+            jnp.zeros((lanes_img + M,), bool)
+            .at[lane_rows].set(
+                jnp.repeat(active[:, None], M, axis=1).reshape(-1), mode="drop"
+            )[:lanes_img]
+        )
+        lane_active = jnp.tile(lane_active, B)
+
+        cum = (x & _LANE_MASK).astype(jnp.uint32)
+        sym = lut[idx_lane, cum.astype(jnp.int32)]
+        start = cdf[idx_lane, sym].astype(jnp.uint32)
+        freq = (cdf[idx_lane, sym + 1] - cdf[idx_lane, sym]).astype(jnp.uint32)
+        start = jnp.where(lane_active, start, jnp.uint32(0))
+        freq = jnp.where(lane_active, freq, _LANE_L)
+
+        x = freq * (x >> np.uint32(16)) + cum - start
+        x, cursor = renorm(x, cursor)
+
+        max_v = max_values[idx_lane]
+        is_esc = lane_active & (sym == max_v)
+
+        def esc_branch(args):
+            x_in, cur_in = args
+            lo, x1, cur1 = get_bits16(x_in, cur_in)
+            hi, x2, cur2 = get_bits16(x1, cur1)
+            x_out = jnp.where(is_esc, x2, x_in)
+            cur_out = jnp.where(is_esc, cur2, cur_in)
+            return x_out, cur_out, (hi << np.uint32(16)) | lo
+
+        def no_esc(args):
+            x_in, cur_in = args
+            return x_in, cur_in, jnp.zeros((lanes,), jnp.uint32)
+
+        x, cursor, raw = jax.lax.cond(
+            jnp.any(is_esc), esc_branch, no_esc, (x, cursor)
+        )
+
+        value = sym.astype(jnp.int32)
+        esc_val = (raw >> np.uint32(1)).astype(jnp.int32)
+        esc_neg = (raw & np.uint32(1)) == 1
+        value = jnp.where(
+            is_esc, jnp.where(esc_neg, -esc_val - 1, esc_val + max_v), value
+        )
+        symbol = value + offsets[idx_lane]
+
+        recon_rows = (
+            symbol.reshape(B, H, M)[:, hs_c].astype(jnp.float32) + means_hat
+        )  # (B, A, M)
+
+        hs_p = jnp.where(active, hs_c + _PAD, H + 2 * _PAD)
+        y_hat = y_hat.at[:, hs_p, ws_c + _PAD].set(recon_rows, mode="drop")
+        return y_hat, x, cursor
+
+    y_hat, x, cursor = jax.lax.fori_loop(
+        0, T, step, (y_hat0, x0, jnp.zeros((lanes,), jnp.int32))
+    )
+    return y_hat[:, _PAD : _PAD + H, _PAD : _PAD + W]
+
+
+def wavefront_decode_batch(blobs, params_hs, weights: ARWeightsDevice, tables,
+                           scale_table, H: int, W: int):
+    """Decode B lane-parallel AR blobs to (B, H, W, M) in one device
+    program. ``params_hs``: (B, H, W, 2M)."""
+    M = weights.M
+    unpacked = [_unpack_ar_blob(blob, H, M) for blob in blobs]
+    cap = max(u[0].size for u in unpacked)
+    max_w = max(u[2] for u in unpacked)
+    B = len(blobs)
+    flat = np.zeros((B, cap), np.uint16)
+    counts = np.zeros((B, H * M), np.int32)
+    for b, (f, c, _) in enumerate(unpacked):
+        flat[b, : f.size] = f
+        counts[b] = c
+    dev = tables.device
+    max_values = dev["sizes"] - 2
+    return _wavefront_decode_batched(
+        jnp.asarray(flat), jnp.asarray(counts), jnp.asarray(params_hs),
+        weights.tree(), jnp.asarray(scale_table),
+        dev["lut"], dev["cdf"], dev["offsets"], max_values,
+        B, H, W, M, max_w,
+    )
 
 
 def wavefront_decode(blob: bytes, params_hs, weights: ARWeightsDevice, tables,
