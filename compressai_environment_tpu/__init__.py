@@ -16,7 +16,12 @@ from __future__ import annotations
 __version__ = "0.1.0"
 
 _entropy_coder = "ans"
-_available_entropy_coders = ["ans"]
+# "ans": reference-bit-exact host rANS (stream_format "rans");
+# "tpu": on-chip interleaved-lane rANS (stream_format "tpu")
+_available_entropy_coders = ["ans", "tpu"]
+
+#: coder registry name -> CompressionModel.stream_format value
+coder_stream_formats = {"ans": "rans", "tpu": "tpu"}
 
 
 def set_entropy_coder(entropy_coder: str) -> None:

@@ -205,6 +205,9 @@ def main(argv):
             sys.stderr.write(log_fmt.format(*opts, run=run))
             sys.stderr.flush()
         model = load_func(run)
+        model.stream_format = compressai_environment_tpu.coder_stream_formats[
+            args.entropy_coder
+        ]
         if not args.entropy_estimation:
             model.update()
             # half() only applies to the real-coding inference path, matching
