@@ -44,6 +44,8 @@ __all__ = [
     "encode_interleaved_batch",
     "decode_interleaved_batch",
     "build_decode_lut",
+    "build_search_cdf",
+    "low_memory_mode",
     "EncodeDeviceHandle",
     "DEFAULT_LANES",
 ]
@@ -247,6 +249,100 @@ def _decode_device_core(x0, words_u16, indexes, raw, raw_counts, lut, cdf,
 
     syms = _decode_scan(x0, words, rows, pad_mask, lut, cdf, T)
     # (T, B*lanes) -> (B, n)
+    coded = syms.reshape(T, B, lanes).transpose(1, 2, 0).reshape(B, lanes * T)[:, :n]
+
+    maxv = sizes[indexes] - 2
+    esc = coded == maxv
+    pos = jnp.cumsum(esc, axis=1) - 1
+    rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], esc.shape)
+    raw_vals = raw[rows_b, jnp.clip(pos, 0, raw.shape[1] - 1)]
+    dec = (raw_vals >> np.uint32(1)).astype(jnp.int32)
+    dec = jnp.where((raw_vals & np.uint32(1)) == 1, -dec - 1, dec + maxv)
+    values = jnp.where(esc, dec, coded)
+    return (values + offsets[indexes]).astype(jnp.int32)
+
+
+def low_memory_mode() -> bool:
+    """COMPRESSAI_TPU_LOW_MEM=1 trades decode speed for device memory: the
+    (rows, 65536) LUT / packed sf/post tables (~0.4 MB/row) are never built;
+    decode inverts the CDF by on-device binary search over the compact
+    (rows, stride) table instead (log2(stride) extra gathers per symbol).
+    Useful when tables would collide with model weights on busy chips."""
+    import os
+
+    return os.environ.get("COMPRESSAI_TPU_LOW_MEM") == "1"
+
+
+def build_search_cdf(quantized_cdf: np.ndarray, cdf_length: np.ndarray) -> np.ndarray:
+    """Compact CDF with padding raised above any cum value so a branchless
+    binary search stays within each row's valid prefix."""
+    cdf = np.array(quantized_cdf, np.int32)
+    stride = cdf.shape[1]
+    cols = np.arange(stride)[None, :]
+    pad = cols >= np.asarray(cdf_length, np.int64)[:, None]
+    cdf[pad] = (1 << 16) + 1
+    return cdf
+
+
+@partial(jax.jit, static_argnames=("T", "k_steps"))
+def _decode_scan_search(x0, words, rows, pad_mask, cdf_search, cdf, T: int,
+                        k_steps: int):
+    """LUT-free decode scan: per step, the symbol is the largest s with
+    cdf[row, s] <= cum, found by k_steps of branchless binary search over
+    the compact table. State evolution is bit-identical to the LUT scans."""
+    lanes = rows.shape[1]
+    lane_iota = jnp.arange(lanes)
+    stride = cdf_search.shape[1]
+
+    def step(carry, inp):
+        x, cursor = carry
+        row, pad = inp
+        cum = (x & _MASK16).astype(jnp.int32)
+        safe_row = jnp.maximum(row, 0)
+
+        pos = jnp.zeros((lanes,), jnp.int32)
+        for k in range(k_steps - 1, -1, -1):
+            cand = pos + (1 << k)
+            ok = (cand < stride) & (cdf_search[safe_row, jnp.minimum(cand, stride - 1)] <= cum)
+            pos = jnp.where(ok, cand, pos)
+        s = pos
+        start = cdf[safe_row, s].astype(jnp.uint32)
+        freq = (cdf[safe_row, s + 1] - cdf[safe_row, s]).astype(jnp.uint32)
+        start = jnp.where(pad, jnp.uint32(0), start)
+        freq = jnp.where(pad, _L, freq)
+        s = jnp.where(pad, 0, s)
+
+        x = freq * (x >> np.uint32(16)) + cum.astype(jnp.uint32) - start
+        need = x < _L
+        w = words[jnp.minimum(cursor, words.shape[0] - 1), lane_iota]
+        x = jnp.where(need, (x << np.uint32(16)) | w, x)
+        cursor = cursor + need.astype(jnp.int32)
+        return (x, cursor), s
+
+    (x, cursor), syms = jax.lax.scan(
+        step, (x0, jnp.zeros((lanes,), jnp.int32)), (rows, pad_mask)
+    )
+    return syms
+
+
+@partial(jax.jit, static_argnames=("T", "lanes", "k_steps"))
+def _decode_device_core_search(x0, words_u16, indexes, raw, raw_counts,
+                               cdf_search, cdf, sizes, offsets,
+                               T: int, lanes: int, k_steps: int):
+    """LUT-free variant of :func:`_decode_device_core` (low-memory mode)."""
+    B, n = indexes.shape
+    pad = T * lanes - n
+
+    def lane_layout(a, padval):
+        a = jnp.concatenate([a, jnp.full((B, pad), padval, a.dtype)], axis=1)
+        return a.reshape(B, lanes, T).transpose(2, 0, 1).reshape(T, B * lanes)
+
+    rows = lane_layout(indexes, jnp.int32(-1))
+    pad_mask = rows < 0
+    words = words_u16.astype(jnp.uint32)
+
+    syms = _decode_scan_search(x0, words, rows, pad_mask, cdf_search, cdf, T,
+                               k_steps)
     coded = syms.reshape(T, B, lanes).transpose(1, 2, 0).reshape(B, lanes * T)[:, :n]
 
     maxv = sizes[indexes] - 2
@@ -971,6 +1067,15 @@ def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None):
     words[j_of, lane_of] = stream_all[src]
 
     dev = tables.device
+    if "lut" not in dev:  # low-memory mode: binary-search decode
+        stride = int(dev["cdf_search"].shape[1])
+        k_steps = max(1, (stride - 1).bit_length())
+        return _decode_device_core_search(
+            jnp.asarray(x0), jnp.asarray(words), indexes_dev,
+            jnp.asarray(raw), jnp.asarray(raw_counts),
+            dev["cdf_search"], dev["cdf"], dev["sizes"], dev["offsets"],
+            T, lanes, k_steps,
+        )
     return _decode_device_core(
         jnp.asarray(x0), jnp.asarray(words), indexes_dev,
         jnp.asarray(raw), jnp.asarray(raw_counts),

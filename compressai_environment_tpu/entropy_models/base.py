@@ -67,17 +67,27 @@ class CdfTables:
 
     @property
     def device(self) -> dict:
-        """Cached device copies (jnp arrays) of the tables (+ decode LUT)."""
+        """Cached device copies (jnp arrays) of the tables. Normally includes
+        the (n, 65536) decode LUT; under ``COMPRESSAI_TPU_LOW_MEM=1`` the LUT
+        is replaced by the compact padded-search CDF (``cdf_search``) and
+        decode falls back to on-device binary search."""
         dev = getattr(self, "_device_arrays", None)
         if dev is None:
             import jax.numpy as jnp
+
+            from ..entropy.vrans import build_search_cdf, low_memory_mode
 
             dev = {
                 "cdf": jnp.asarray(self.quantized_cdf),
                 "sizes": jnp.asarray(self.cdf_length),
                 "offsets": jnp.asarray(self.offset),
-                "lut": jnp.asarray(self.decode_lut),
             }
+            if low_memory_mode():
+                dev["cdf_search"] = jnp.asarray(
+                    build_search_cdf(self.quantized_cdf, self.cdf_length)
+                )
+            else:
+                dev["lut"] = jnp.asarray(self.decode_lut)
             object.__setattr__(self, "_device_arrays", dev)
         return dev
 
@@ -85,23 +95,50 @@ class CdfTables:
     def device_packed(self):
         """Cached device copies of the gather-minimizing packed tables
         (``vrans.build_packed_tables``), or None if the table ranges don't
-        fit the packed encoding."""
+        fit the packed encoding — or if low-memory mode is on (the packed
+        sf/post tables cost ~0.4 MB/row of device HBM)."""
         dev = getattr(self, "_device_packed", "unset")
         if dev == "unset":
             import jax.numpy as jnp
 
-            from ..entropy.vrans import build_packed_tables
+            from ..entropy.vrans import build_packed_tables, low_memory_mode
 
-            host = build_packed_tables(
-                self.quantized_cdf, self.cdf_length, self.offset,
-                lut=self.decode_lut,
-            )
-            dev = (
-                {k: jnp.asarray(v) for k, v in host.items()}
-                if host is not None else None
-            )
+            if low_memory_mode():
+                dev = None
+            else:
+                host = build_packed_tables(
+                    self.quantized_cdf, self.cdf_length, self.offset,
+                    lut=self.decode_lut,
+                )
+                dev = (
+                    {k: jnp.asarray(v) for k, v in host.items()}
+                    if host is not None else None
+                )
             object.__setattr__(self, "_device_packed", dev)
         return dev
+
+    def device_bytes(self) -> dict:
+        """Per-component device-memory footprint (bytes) of the table copies
+        this object would upload in the current mode — the decode-table
+        memory story for capacity planning."""
+        n, stride = self.quantized_cdf.shape
+        from ..entropy.vrans import low_memory_mode
+
+        base = {
+            "cdf": n * stride * 4,
+            "sizes": n * 4,
+            "offsets": n * 4,
+        }
+        if low_memory_mode():
+            base["cdf_search"] = n * stride * 4
+        else:
+            base["lut"] = n * (1 << 16) * 4
+            base["sf"] = n * (1 << 16) * 4
+            base["post"] = n * (1 << 16) * 2
+            base["mo"] = n * 4
+            base["cdf2"] = n * (stride - 1) * 4
+        base["total"] = sum(base.values())
+        return base
 
     def validate(self):
         if self.quantized_cdf.size == 0:

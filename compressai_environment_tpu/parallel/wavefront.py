@@ -819,11 +819,15 @@ def wavefront_decode_batch(blobs, params_hs, weights: ARWeightsDevice, tables,
         flat[b, : f.size] = f
         counts[b] = c
     dev = tables.device
+    # AR decode keeps the cum->symbol LUT even in low-memory mode: its table
+    # is the (<=64-row) Gaussian scale table (~16 MB) and a per-step binary
+    # search would sit on the wavefront critical path.
+    lut = dev["lut"] if "lut" in dev else jnp.asarray(tables.decode_lut)
     max_values = dev["sizes"] - 2
     return _wavefront_decode_batched(
         jnp.asarray(flat), jnp.asarray(counts), jnp.asarray(params_hs),
         weights.tree(), jnp.asarray(scale_table),
-        dev["lut"], dev["cdf"], dev["offsets"], max_values,
+        lut, dev["cdf"], dev["offsets"], max_values,
         B, H, W, M, max_w,
     )
 
@@ -834,6 +838,7 @@ def wavefront_decode(blob: bytes, params_hs, weights: ARWeightsDevice, tables,
     M = weights.M
     flat, counts, max_w = _unpack_ar_blob(blob, H, M)
     dev = tables.device  # cached device copies: avoids re-uploading the LUT
+    lut = dev["lut"] if "lut" in dev else jnp.asarray(tables.decode_lut)
     max_values = dev["sizes"] - 2
     return _wavefront_decode(
         jnp.asarray(flat),
@@ -841,7 +846,7 @@ def wavefront_decode(blob: bytes, params_hs, weights: ARWeightsDevice, tables,
         jnp.asarray(params_hs),
         weights.tree(),
         jnp.asarray(scale_table),
-        dev["lut"],
+        lut,
         dev["cdf"],
         dev["offsets"],
         max_values,

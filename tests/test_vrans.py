@@ -173,3 +173,45 @@ class TestDeviceResidentAPI:
         assert dev_blobs == host_blobs
         out = decode_batch_device(dev_blobs, jnp.asarray(indexes), tables)
         np.testing.assert_array_equal(np.asarray(out), symbols)
+
+
+class TestLowMemoryMode:
+    def test_low_mem_decode_matches(self, rng, monkeypatch):
+        """COMPRESSAI_TPU_LOW_MEM=1: no LUT / packed tables on device;
+        binary-search decode recovers identical symbols from identical
+        blobs, and the device table footprint shrinks by ~1000x."""
+        import jax.numpy as jnp
+
+        from compressai_environment_tpu.entropy_models import CdfTables
+        from compressai_environment_tpu.entropy.vrans import (
+            decode_batch_device,
+            encode_batch_device,
+        )
+
+        cdfs, sizes, offsets = _table(rng)
+        B, n = 2, 2000
+        indexes = rng.integers(0, 8, size=(B, n)).astype(np.int32)
+        symbols = rng.integers(-60, 60, size=(B, n)).astype(np.int32)
+
+        normal = CdfTables(cdfs, sizes, offsets)
+        blobs = encode_batch_device(
+            jnp.asarray(symbols), jnp.asarray(indexes), normal, 32
+        )
+        hi = normal.device_bytes()["total"]
+
+        monkeypatch.setenv("COMPRESSAI_TPU_LOW_MEM", "1")
+        lowmem = CdfTables(cdfs, sizes, offsets)
+        assert lowmem.device_packed is None
+        assert "lut" not in lowmem.device and "cdf_search" in lowmem.device
+
+        # encoding is byte-identical in low-mem mode
+        blobs_lm = encode_batch_device(
+            jnp.asarray(symbols), jnp.asarray(indexes), lowmem, 32
+        )
+        assert blobs_lm == blobs
+
+        out = decode_batch_device(blobs, jnp.asarray(indexes), lowmem)
+        np.testing.assert_array_equal(np.asarray(out), symbols)
+
+        lo = lowmem.device_bytes()["total"]
+        assert lo < hi / 100
