@@ -19,6 +19,17 @@ GENERATE = os.environ.get("GENERATE_EXPECTED") == "1"
 NUMERIC_KEYS = ("psnr", "ms-ssim", "bpp")  # timings are machine-dependent
 
 
+@pytest.fixture(autouse=True)
+def _restore_global_coder():
+    """The CLI sets the process-global coder registry; restore it so other
+    tests see the default."""
+    import compressai_environment_tpu as cai
+
+    saved = cai.get_entropy_coder()
+    yield
+    cai.set_entropy_coder(saved)
+
+
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
     from PIL import Image
