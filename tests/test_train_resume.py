@@ -141,3 +141,28 @@ def test_learning_rate_change_affects_updates():
         {k: v for k, v in d_lo.items() if k != "entropy_bottleneck"}
     ))
     assert lo < hi * 1e-2
+
+
+def test_seeded_training_log_regression():
+    """Numeric regression of a seeded short training run against a golden
+    loss trajectory (reference ``tests/test_train.py:40-88`` compares a
+    10-epoch seeded train log within tolerance). GENERATE_EXPECTED=1
+    rewrites the fixture."""
+    import json
+    import os
+    from pathlib import Path
+
+    fixture = Path(__file__).parent / "expected" / "train_log_seeded.json"
+    generate = os.environ.get("GENERATE_EXPECTED") == "1"
+
+    net, state, txs = _make_setup(seed=5)
+    base_key = jax.random.key(99)
+    batches = _batches(8, seed=13)
+    _, losses = _run_steps(net, state, txs, batches, base_key)
+
+    if generate or not fixture.exists():
+        fixture.write_text(json.dumps({"losses": losses}))
+        if generate:
+            pytest.skip("generated fixture")
+    expected = json.loads(fixture.read_text())["losses"]
+    np.testing.assert_allclose(losses, expected, rtol=1e-4)
