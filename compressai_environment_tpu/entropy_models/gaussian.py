@@ -181,6 +181,19 @@ def compress(inputs, indexes, tables: CdfTables, means=None, fmt: str = "rans"):
     return compress_symbols(symbols, idx, tables)
 
 
+def compress_async(inputs, indexes, tables: CdfTables, means=None):
+    """Two-phase "tpu"-format encode (cf. ``bottleneck.compress_async``):
+    dispatch now, fetch blobs via ``handle.result()``."""
+    from ..entropy import vrans
+
+    inputs = jnp.asarray(inputs)
+    b = inputs.shape[0]
+    values = inputs - jnp.asarray(means) if means is not None else inputs
+    symbols = jnp.round(values).astype(jnp.int32).reshape(b, -1)
+    idx = jnp.asarray(indexes).reshape(b, -1)
+    return vrans.EncodeDeviceHandle(symbols, idx, tables)
+
+
 def decompress(strings, indexes, tables: CdfTables, means=None,
                fmt: str = "rans"):
     """"tpu": decodes on device and returns a device array."""

@@ -256,12 +256,7 @@ class ScaleHyperprior(CompressionModel):
         z_strings = eb_ops.compress(
             z, self._medians(), self.tables["z"], fmt=self.stream_format
         )
-        # encoder decodes its own z so both sides derive identical scales
-        # (reference models/google.py:306-309)
-        z_hat = eb_ops.decompress(
-            z_strings, z.shape[1:3], self._medians(), self.tables["z"],
-            fmt=self.stream_format,
-        )
+        z_hat = self._z_hat_on_device(z)
 
         params_dev = {"params": self.params}
         hyper = self._jitted(
@@ -275,6 +270,56 @@ class ScaleHyperprior(CompressionModel):
             y, indexes, self.tables["y"], means, fmt=self.stream_format
         )
         return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
+
+    def compress_async(self, x):
+        """Two-phase compress ("tpu" format): all device work (transforms,
+        z/y entropy-coding scans) is dispatched without blocking; only
+        ``result()`` fetches streams. Interleaving handles across sub-batches
+        overlaps D2H with the next sub-batch's compute."""
+        if self.stream_format != "tpu":
+            out = self.compress(x)
+            return type("_Done", (), {"result": staticmethod(lambda: out)})()
+        self._require_tables("y", "z")
+        x = self._nhwc(x)
+        encode = self._jitted(
+            "encode", lambda p, v: self.net.apply(p, v, method=self.net_cls.encode)
+        )
+        y, z = encode({"params": self.params}, x)
+
+        z_handle = eb_ops.compress_async(z, self._medians(), self.tables["z"])
+        z_hat = self._z_hat_on_device(z)
+        hyper = self._jitted(
+            "hyper_decode",
+            lambda p, v: self.net.apply(p, v, method=self.net_cls.hyper_decode),
+        )
+        out = hyper({"params": self.params}, self._cast(z_hat))
+        indexes, means = self._indexes_and_means(out)
+        y_handle = gc_ops.compress_async(y, indexes, self.tables["y"], means)
+        shape = tuple(z.shape[1:3])
+
+        class _Handle:
+            @staticmethod
+            def result():
+                return {
+                    "strings": [y_handle.result(), z_handle.result()],
+                    "shape": shape,
+                }
+
+        return _Handle()
+
+    def _z_hat_on_device(self, z):
+        """The decoder's z_hat without the bitstream round trip: coding is
+        lossless, so ``decompress(compress(z)) == round(z - medians) +
+        medians`` exactly (the reference re-decodes its own stream for the
+        same values — models/google.py:306-309; byte-equality with it is
+        pinned by the reference-parity suite)."""
+        fn = self._jitted(
+            "z_hat",
+            lambda z, med: (
+                jnp.round(z.astype(jnp.float32) - med) + med
+            ),
+        )
+        return fn(jnp.asarray(z), jnp.asarray(self._medians()))
 
     def decompress(self, strings, shape):
         assert isinstance(strings, list) and len(strings) == 2

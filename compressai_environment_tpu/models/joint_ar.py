@@ -163,10 +163,7 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         z_strings = eb_ops.compress(
             z, self._medians(), self.tables["z"], fmt=self.stream_format
         )
-        z_hat = eb_ops.decompress(
-            z_strings, tuple(z.shape[1:3]), self._medians(), self.tables["z"],
-            fmt=self.stream_format,
-        )
+        z_hat = self._z_hat_on_device(z)
         hyper = self._jitted(
             "hyper_decode",
             lambda p, v: self.net.apply(p, v, method=self.net_cls.hyper_decode),

@@ -459,7 +459,10 @@ class ScaleSpaceFlow(CompressionModel):
 
         fmt = self.stream_format
         z_string = eb_ops.compress(z, medians, z_tab, fmt=fmt)
-        z_hat = eb_ops.decompress(z_string, z.shape[1:3], medians, z_tab, fmt=fmt)
+        # lossless coding: the decoder's z_hat equals round(z - med) + med,
+        # no bitstream round trip needed (cf. ScaleHyperprior._z_hat_on_device)
+        med = jnp.asarray(medians)
+        z_hat = jnp.round(jnp.asarray(z, jnp.float32) - med) + med
 
         scales, means = self._run(f"{branch}_hyper_params", jnp.asarray(z_hat))
         indexes = build_indexes(scales, jnp.asarray(self.scale_table))

@@ -197,3 +197,33 @@ class TestARTpuFormat:
         np.testing.assert_allclose(
             np.asarray(d["x_hat"]), np.asarray(ref["x_hat"]), atol=1e-5
         )
+
+
+class TestCompressAsync:
+    """Two-phase compress must produce byte-identical output to the
+    blocking path for the 'tpu' stream format."""
+
+    @pytest.mark.parametrize("cls,dims", [
+        ("FactorizedPrior", (16, 24)),
+        ("ScaleHyperprior", (16, 24)),
+        ("MeanScaleHyperprior", (16, 24)),
+    ])
+    def test_async_matches_blocking(self, cls, dims):
+        import compressai_environment_tpu.models as M
+
+        model = getattr(M, cls)(*dims).init(
+            key=jax.random.key(3), input_shape=(1, 128, 128, 3)
+        )
+        model.update(force=True)
+        model.stream_format = "tpu"
+        x = np.clip(
+            np.kron(
+                np.random.default_rng(5).random((2, 16, 16, 3), np.float32),
+                np.ones((1, 8, 8, 1), np.float32),
+            ), 0, 1,
+        )
+        blocking = model.compress(x)
+        handle = model.compress_async(x)
+        out = handle.result()
+        assert out["shape"] == blocking["shape"]
+        assert out["strings"] == blocking["strings"]
