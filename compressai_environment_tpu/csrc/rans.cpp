@@ -204,6 +204,33 @@ inline void decode_symbols(DecState& st, const int32_t* indexes, int64_t n,
 
 }  // namespace
 
+// Validated (debug) build: compile with -DRANS_VALIDATE (the framework's
+// analogue of the reference's DEBUG_BUILD=1, setup.py:72-73 + the asserts at
+// rans_interface.cpp:56-66). Checks every referenced CDF row: cdf[0] == 0,
+// strictly increasing, final value == 1 << precision; and every index in
+// range. Entry points return -3 on invalid tables instead of corrupting
+// streams.
+#ifdef RANS_VALIDATE
+static bool cdfs_valid(const int32_t* indexes, int64_t n, const int32_t* cdfs,
+                       int64_t stride, const int32_t* cdf_sizes,
+                       int64_t /*ncdfs_hint*/) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t row = indexes[i];
+    if (row < 0) return false;
+    const int32_t size = cdf_sizes[row];
+    if (size < 2 || size > stride) return false;
+    const int32_t* c = cdfs + row * stride;
+    if (c[0] != 0 || c[size - 1] != (1 << kPrecision)) return false;
+    for (int32_t j = 0; j + 1 < size; ++j)
+      if (c[j + 1] <= c[j]) return false;
+  }
+  return true;
+}
+#define RANS_CHECK(cond) do { if (!(cond)) return -3; } while (0)
+#else
+#define RANS_CHECK(cond) do { } while (0)
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -211,11 +238,13 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 // Encode n symbols; writes the stream right-aligned into out[0..cap).
-// Returns the byte offset where the stream starts, or -1 on overflow.
+// Returns the byte offset where the stream starts, -1 on overflow, or -3 on
+// invalid tables (validated build only).
 int64_t rans_encode(const int32_t* symbols, const int32_t* indexes, int64_t n,
                     const int32_t* cdfs, int64_t stride,
                     const int32_t* cdf_sizes, const int32_t* offsets,
                     uint8_t* out, int64_t cap) {
+  RANS_CHECK(cdfs_valid(indexes, n, cdfs, stride, cdf_sizes, 0));
   std::vector<SymRec> recs;
   build_records(symbols, indexes, n, cdfs, stride, cdf_sizes, offsets, recs);
   return flush_records(recs, out, cap);
@@ -225,6 +254,7 @@ int64_t rans_decode(const uint8_t* stream, const int32_t* indexes, int64_t n,
                     const int32_t* cdfs, int64_t stride,
                     const int32_t* cdf_sizes, const int32_t* offsets,
                     int32_t* out) {
+  RANS_CHECK(cdfs_valid(indexes, n, cdfs, stride, cdf_sizes, 0));
   DecState st;
   st.init(stream);
   decode_symbols(st, indexes, n, cdfs, stride, cdf_sizes, offsets, out);
@@ -244,6 +274,7 @@ int64_t rans_encode_batch(const int32_t* symbols, const int32_t* indexes,
                           int64_t stride, const int32_t* cdf_sizes,
                           const int32_t* offsets, uint8_t* out, int64_t cap,
                           int64_t* starts) {
+  RANS_CHECK(cdfs_valid(indexes, batch * n, cdfs, stride, cdf_sizes, 0));
   int64_t err = 0;
 #pragma omp parallel for schedule(dynamic)
   for (int64_t b = 0; b < batch; ++b) {
@@ -266,6 +297,7 @@ int64_t rans_decode_batch(const uint8_t* streams, const int64_t* stream_offsets,
                           const int32_t* cdfs, int64_t stride,
                           const int32_t* cdf_sizes, const int32_t* offsets,
                           int32_t* out) {
+  RANS_CHECK(cdfs_valid(indexes, batch * n, cdfs, stride, cdf_sizes, 0));
 #pragma omp parallel for schedule(dynamic)
   for (int64_t b = 0; b < batch; ++b) {
     DecState st;

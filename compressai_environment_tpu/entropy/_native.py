@@ -30,21 +30,34 @@ _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 
 
+def _debug_build() -> bool:
+    """COMPRESSAI_TPU_DEBUG_BUILD=1 compiles the coder with -O0 -g and CDF
+    validation (the reference's DEBUG_BUILD=1 analogue, setup.py:72-73):
+    entry points reject malformed CDF tables with an error instead of
+    emitting corrupt streams."""
+    return os.environ.get("COMPRESSAI_TPU_DEBUG_BUILD") == "1"
+
+
 def _build() -> Path:
     _BUILD_DIR.mkdir(exist_ok=True)
-    so = _BUILD_DIR / "librans.so"
+    debug = _debug_build()
+    so = _BUILD_DIR / ("librans_debug.so" if debug else "librans.so")
     if so.exists() and so.stat().st_mtime >= _SRC.stat().st_mtime:
         return so
     tmp = _BUILD_DIR / f"librans.{os.getpid()}.tmp.so"
+    flags = (
+        ["-O0", "-g", "-DRANS_VALIDATE"] if debug else ["-O3", "-march=native"]
+    )
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
-        "-march=native", str(_SRC), "-o", str(tmp),
+        "g++", *flags, "-std=c++17", "-shared", "-fPIC", "-fopenmp",
+        str(_SRC), "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
         # -march=native or -fopenmp may be unsupported; retry conservatively.
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)]
+        cmd = ["g++", *[f for f in flags if f != "-march=native"],
+               "-std=c++17", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)]
         subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, so)
     return so

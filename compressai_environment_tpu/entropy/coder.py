@@ -66,6 +66,8 @@ def encode_with_indexes(symbols, indexes, cdfs, cdfs_sizes, offsets) -> bytes:
         off = lib.rans_encode(
             symbols, indexes, n, cdfs, cdfs.shape[1], cdfs_sizes, offsets, buf, cap
         )
+        if off == -3:
+            raise ValueError("invalid CDF tables (validated coder build)")
         if off < 0:  # pragma: no cover - cap bound is generous
             raise RuntimeError("rANS encode buffer overflow")
         return buf[off:].tobytes()
@@ -86,10 +88,12 @@ def decode_with_indexes(string: bytes, indexes, cdfs, cdfs_sizes, offsets) -> np
     if lib is not None:
         stream = np.frombuffer(string, dtype=np.uint8)
         out = np.empty(n, dtype=np.int32)
-        lib.rans_decode(
+        rc = lib.rans_decode(
             np.ascontiguousarray(stream), indexes, n, cdfs, cdfs.shape[1],
             cdfs_sizes, offsets, out,
         )
+        if rc == -3:
+            raise ValueError("invalid CDF tables (validated coder build)")
         return out
 
     return _pyrans.RansDecoder().decode_with_indexes(
@@ -121,6 +125,8 @@ def encode_batch(symbols, indexes, cdfs, cdfs_sizes, offsets) -> list:
             symbols, indexes, batch, n, cdfs, cdfs.shape[1], cdfs_sizes,
             offsets, buf.reshape(-1), cap, starts,
         )
+        if rv == -3:
+            raise ValueError("invalid CDF tables (validated coder build)")
         if rv != 0:  # pragma: no cover
             raise RuntimeError("rANS encode buffer overflow")
         return [buf[b, starts[b]:].tobytes() for b in range(batch)]

@@ -169,3 +169,48 @@ class TestIncremental:
                 dec.decode_stream(indexes[i : i + 41], cdfs, sizes, offsets)
             )
         np.testing.assert_array_equal(np.concatenate(outs), symbols)
+
+
+def test_validated_debug_build(tmp_path):
+    """COMPRESSAI_TPU_DEBUG_BUILD=1 (the reference DEBUG_BUILD analogue,
+    setup.py:72-73) compiles the coder with CDF validation: malformed tables
+    are rejected with an error instead of emitting corrupt streams. Run in a
+    subprocess so the library cache of this process is untouched."""
+    import subprocess
+    import sys
+    import textwrap
+    from pathlib import Path
+
+    script = tmp_path / "dbg.py"
+    script.write_text(textwrap.dedent(f"""
+        import os, sys
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["COMPRESSAI_TPU_DEBUG_BUILD"] = "1"
+        sys.path.insert(0, {str(Path(__file__).parent.parent)!r})
+        import numpy as np
+        from compressai_environment_tpu.entropy import coder
+        from compressai_environment_tpu.entropy.cdf import pmf_to_quantized_cdf
+
+        row = pmf_to_quantized_cdf([0.2, 0.3, 0.4], 16)
+        cdfs = np.zeros((1, len(row)), np.int32); cdfs[0] = row
+        sizes = np.array([len(row)], np.int32)
+        offs = np.array([0], np.int32)
+        sym = np.array([0, 1, 2, 1], np.int32)
+        idx = np.zeros(4, np.int32)
+        s = coder.encode_with_indexes(sym, idx, cdfs, sizes, offs)
+        assert (coder.decode_with_indexes(s, idx, cdfs, sizes, offs) == sym).all()
+
+        bad = cdfs.copy(); bad[0, 1] = bad[0, 2]  # non-monotone row
+        try:
+            coder.encode_with_indexes(sym, idx, bad, sizes, offs)
+            raise SystemExit("unvalidated")
+        except ValueError:
+            print("validated-build-ok")
+    """))
+    out = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=240,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "validated-build-ok" in out.stdout
