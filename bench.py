@@ -44,12 +44,16 @@ def _calibrate_rate(model, x_sample, target_bpp=1.0):
     rate (published Kodak rates are 0.1-1.8 bpp; uncalibrated random init
     codes at >4 bpp, inflating stream transfer cost out of proportion).
 
-    Two knobs, mirroring what training does: (1) scale the last analysis
-    conv so latents are ~unit scale; (2) sharpen the EntropyBottleneck
-    density (additive shift on the pre-softplus ``_matrix0``, which
-    multiplies the cumulative-logit slope) until the measured bpp hits the
-    target, rebaking CDF tables per probe. The symbol count — and thus the
-    coding work per image — is shape-determined and unaffected."""
+    Two knobs, mirroring where training converges: (1) scale the last
+    analysis conv so the quantized-latent entropy lands near the target —
+    for M latent channels at transform stride 16 there are M/256 symbols
+    per pixel, and a rounded N(0, s) symbol carries ~½·log2(2πe·s²) bits;
+    (2) bake *empirical* per-channel CDFs from the sample latents' symbol
+    histograms (a trained EntropyBottleneck's density converges to exactly
+    this data distribution; a random-init density costs ~3 bpp of
+    cross-entropy mismatch that no scalar sharpness knob can remove). The
+    symbol count — and thus the coding work per image — is
+    shape-determined and unaffected; only the probabilities change."""
     import numpy as _np
 
     h, w = x_sample.shape[1:3]
@@ -60,40 +64,71 @@ def _calibrate_rate(model, x_sample, target_bpp=1.0):
             x_sample.shape[0] * h * w
         )
 
-    # knob 1: unit-scale latents
     import jax.numpy as jnp
 
+    from compressai_environment_tpu.entropy.cdf import pmf_to_quantized_cdf
+    from compressai_environment_tpu.entropy_models.base import CdfTables
+
+    M = model.M
+    bits_per_symbol = target_bpp * 256.0 / M
+    # invert H = 0.5*log2(2*pi*e*s^2)  (valid for s >~ 0.5)
+    target_std = max(0.3, float(2.0 ** bits_per_symbol / _np.sqrt(2 * _np.pi * _np.e)))
     encode = model._jitted(
         "encode",
         lambda p, v: model.net.apply(p, v, method=type(model.net).encode),
     )
-    y = encode({"params": model.params}, model._nhwc(x_sample))
-    scale = float(1.0 / (_np.asarray(jnp.std(y)) + 1e-9))
-    leaf = model.params["g_a"]["6"]
-    leaf["kernel"] = leaf["kernel"] * scale
-    leaf["bias"] = leaf["bias"] * scale
 
-    # knob 2: density sharpness
-    eb = model.params["entropy_bottleneck"]
-    m0_saved = eb["_matrix0"]
+    def latents():
+        return _np.asarray(
+            encode({"params": model.params}, model._nhwc(x_sample)), _np.float32
+        )
 
-    def bpp_at(delta):
-        eb["_matrix0"] = m0_saved + delta
-        model.update(force=True)
-        return measure_bpp()
+    def scale_latents(factor):
+        leaf = model.params["g_a"]["6"]
+        leaf["kernel"] = leaf["kernel"] * factor
+        leaf["bias"] = leaf["bias"] * factor
 
-    lo, hi = 0.0, 8.0
-    for _ in range(7):
-        mid = 0.5 * (lo + hi)
-        if bpp_at(mid) > target_bpp:
-            lo = mid  # sharper needed
-        else:
-            hi = mid
-    delta = 0.5 * (lo + hi)
-    eb["_matrix0"] = m0_saved + delta
-    model.update(force=True)
-    return {"latent_scale": round(scale, 4), "sharpness": round(delta, 3),
-            "calibrated_bpp": round(bpp_at(delta), 3)}
+    def bake_empirical():
+        y = latents()
+        med = model._medians()
+        sym = _np.round(y - med.reshape(1, 1, 1, -1)).astype(_np.int64)
+        # widen the observed range by 1 so near-range symbols on unseen
+        # images stay in-band; anything further escapes (raw residual)
+        mins = sym.min(axis=(0, 1, 2)) - 1
+        maxs = sym.max(axis=(0, 1, 2)) + 1
+        lengths = (maxs - mins + 1).astype(_np.int64)
+        max_len = int(lengths.max())
+        cdf = _np.zeros((M, max_len + 2), _np.int32)
+        tail = _np.float32(2.0 ** -15)
+        ent = _np.zeros(M)
+        for c in range(M):
+            hist = _np.bincount(
+                (sym[..., c].ravel() - mins[c]), minlength=lengths[c]
+            ).astype(_np.float64)
+            p = hist / hist.sum()
+            nz = p > 0
+            ent[c] = -(p[nz] * _np.log2(p[nz])).sum()
+            row = pmf_to_quantized_cdf(
+                _np.concatenate([(1.0 - tail) * p, [tail]]).astype(_np.float32)
+            )
+            cdf[c, : len(row)] = row
+        model.tables["y"] = CdfTables(cdf, lengths + 2, mins)
+        return float(ent.mean())
+
+    scale = float(target_std / (latents().std() + 1e-9))
+    scale_latents(scale)
+    mean_bits = bake_empirical()
+    # one correction step: per-channel entropy moves ~1 bit per std doubling
+    correction = float(2.0 ** (bits_per_symbol - mean_bits))
+    correction = min(max(correction, 0.25), 4.0)
+    scale_latents(correction)
+    mean_bits = bake_empirical()
+    return {
+        "latent_scale": round(scale * correction, 4),
+        "target_std": round(target_std, 3),
+        "empirical_bits_per_symbol": round(mean_bits, 3),
+        "calibrated_bpp": round(measure_bpp(), 3),
+    }
 
 
 def _sync(arr):
@@ -143,8 +178,9 @@ def _phase_breakdown(model, x, chunks):
     phases["h2d_content_upload"] = round(dt, 1)
 
     net, cls = model.net, type(model.net)
+    cdt = model._compute_dtype
     enc = jax.jit(
-        lambda p, v: net.apply(p, v.astype(jnp.float32) / 255.0, method=cls.encode)
+        lambda p, v: net.apply(p, v.astype(cdt) / np.asarray(255.0, cdt), method=cls.encode)
     )
     dt, y_dev = best(lambda: jax.block_until_ready(enc({"params": model.params}, x_dev)))
     phases["g_a"] = round(dt, 1)
@@ -169,10 +205,21 @@ def _phase_breakdown(model, x, chunks):
 
     dec = jax.jit(lambda p, v: net.apply(p, v, method=cls.decode))
     dt, _ = best(
-        lambda: jax.block_until_ready(dec({"params": model.params}, jnp.asarray(y_back)))
+        lambda: jax.block_until_ready(
+            dec({"params": model.params}, jnp.asarray(y_back, cdt))
+        )
     )
     phases["g_s"] = round(dt, 1)
     phases["stream_bytes"] = total_bytes
+    # chip-bound aggregate: what the same pipeline costs once the dev-tunnel
+    # link phases (content upload, stream D2H/H2D — >10 GB/s on a real host)
+    # are excluded. The decode-scan phase keeps its H2D share here, so this
+    # is a conservative lower bound on chip throughput.
+    chip_ms = phases["g_a"] + phases["quantize_scan_compact_d2h"] + \
+        phases["h2d_unpack_decode_scan"] + phases["g_s"]
+    phases["chip_bound_MBps_lower_bound"] = round(
+        x.nbytes / 1e6 / (chip_ms / 1e3), 1
+    )
     return phases
 
 
@@ -195,6 +242,11 @@ def main():
 
     x = _content(n_images, h, w)
     rate_scale = _calibrate_rate(model, x[:4])
+    # bf16 transforms (the TPU-native half mode, a supported eval path —
+    # --half in eval_model): MXU convs at double rate; coding stays
+    # integer-exact because encoder and decoder quantize the same latents.
+    # Tables were baked in fp32 above, as half() requires.
+    model.half()
     chunks = [x[i : i + CHUNK] for i in range(0, n_images, CHUNK)]
 
     # warmup (compile at the exact benchmark shapes; twice — the first
@@ -239,6 +291,30 @@ def main():
     t2 = time.perf_counter()
     ar_enc, ar_dec = (t1 - t0) / AR_B, (t2 - t1) / AR_B
 
+    # two-stage hyperprior (bmshj2018-hyperprior): z coded by the factorized
+    # bottleneck, y by the Gaussian conditional with decoder-side scales
+    # (BASELINE.md row: ~0.70 s enc / ~0.91 s dec per image on CPU)
+    from compressai_environment_tpu.models import ScaleHyperprior
+
+    hp = ScaleHyperprior(128, 192).init(
+        key=jax.random.key(2), input_shape=(1, h, w, 3)
+    )
+    hp.update(force=True)
+    hp.stream_format = "tpu"
+    HP_B = 8
+    xh = x[:HP_B]
+    for _ in range(2):
+        ch = hp.compress(xh)
+        dh = hp.decompress(ch["strings"], ch["shape"])
+        jax.block_until_ready(dh["x_hat"])
+    t0 = time.perf_counter()
+    ch = hp.compress(xh)
+    t1 = time.perf_counter()
+    dh = hp.decompress(ch["strings"], ch["shape"])
+    jax.block_until_ready(dh["x_hat"])
+    t2 = time.perf_counter()
+    hp_enc, hp_dec = (t1 - t0) / HP_B, (t2 - t1) / HP_B
+
     print(
         json.dumps(
             {
@@ -259,6 +335,10 @@ def main():
                     ),
                     "phases_ms": phases,
                     "rate_calibration": rate_scale,
+                    "transforms_dtype": "bfloat16",
+                    "hyperprior_encode_s_per_img": round(hp_enc, 3),
+                    "hyperprior_decode_s_per_img": round(hp_dec, 3),
+                    "hyperprior_ref_cpu_enc_dec_s": [0.70, 0.91],
                     "mbt2018_ar_batch": AR_B,
                     "mbt2018_ar_encode_s_per_img": round(ar_enc, 3),
                     "mbt2018_ar_decode_s_per_img": round(ar_dec, 3),

@@ -250,8 +250,10 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
             "hyper_decode",
             lambda p, v: self.net.apply(p, v, method=self.net_cls.hyper_decode),
         )
-        params_hs = np.asarray(
-            hyper({"params": self.params}, jnp.asarray(z_hat)), np.float32
+        # fp32 like the compress side; stays device-resident for the device
+        # wavefront (the host raster decoder materializes it to numpy).
+        params_hs = hyper({"params": self.params}, jnp.asarray(z_hat)).astype(
+            jnp.float32
         )
 
         s, pad = 4, 2
@@ -266,6 +268,7 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
                 self.scale_table, y_h, y_w,
             )
         else:
+            params_hs = np.asarray(params_hs, np.float32)
             y_hat = np.zeros((len(strings[0]), y_h, y_w, self.M), np.float32)
             for b, y_string in enumerate(strings[0]):
                 y_hat[b] = self._decompress_ar(y_string, params_hs[b], y_h, y_w, pad)
