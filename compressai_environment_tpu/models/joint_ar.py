@@ -160,9 +160,15 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         )
         y, z = encode({"params": self.params}, x)
 
-        z_strings = eb_ops.compress(
-            z, self._medians(), self.tables["z"], fmt=self.stream_format
-        )
+        # dispatch z coding without blocking ("tpu" path): the stream fetch
+        # overlaps the hyper-synthesis + wavefront work below
+        if self.stream_format == "tpu":
+            z_handle = eb_ops.compress_async(z, self._medians(), self.tables["z"])
+            z_strings = None
+        else:
+            z_strings = eb_ops.compress(
+                z, self._medians(), self.tables["z"], fmt=self.stream_format
+            )
         z_hat = self._z_hat_on_device(z)
         hyper = self._jitted(
             "hyper_decode",
@@ -194,6 +200,7 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         )
         if self.stream_format == "tpu":
             y_strings = encode_ar_lanes_device_batch(symbols, indexes, tables)
+            z_strings = z_handle.result()
         else:
             B = y.shape[0]
             y_strings = coder.encode_batch(

@@ -199,6 +199,7 @@ def wavefront_encode_symbols_batch(y, params_hs, weights: ARWeightsDevice,
 
 _LANE_L = np.uint32(1 << 16)
 _LANE_MASK = np.uint32(0xFFFF)
+_WF_POST_ESC = -32768  # escape sentinel in packed `post` (vrans._POST_ESC)
 
 
 @partial(jax.jit, static_argnames=("T",))
@@ -804,6 +805,160 @@ def _wavefront_decode_batched(flat, counts, params_hs, weights, scale_table,
     return y_hat[:, _PAD : _PAD + H, _PAD : _PAD + W]
 
 
+@partial(jax.jit, static_argnames=("B", "H", "W", "M", "max_w"))
+def _wavefront_decode_batched_packed(flat, counts, params_hs, weights,
+                                     scale_table, sf, post, mo,
+                                     B: int, H: int, W: int, M: int,
+                                     max_w: int):
+    """Gather-lean batched AR decode, state-identical to
+    :func:`_wavefront_decode_batched` (property-tested).
+
+    The wavefront step is gather-latency-bound on TPU (~12.5 ns per gathered
+    element regardless of table size — see docs/performance.md), so cost
+    scales with gathered elements per step. Two reductions vs the unpacked
+    path:
+
+    * the packed ``sf``/``post`` tables (``vrans.build_packed_tables``) fuse
+      the lut + 2x cdf + offset + max_value lookups into two gathers per
+      lane; the ``mo`` (offset|max_value) gather moves inside the rare
+      escape branch;
+    * the active wavefront rows are contiguous (``h_lo .. h_lo+A``), so all
+      per-lane work runs on a ``dynamic_slice`` of the lane state — A*M
+      lanes per image instead of H*M.
+
+    Together: 6 full-width gathers/step -> 3 window-width gathers/step.
+    """
+    ctx_kernel = weights["ctx_kernel"]
+    ctx_bias = weights["ctx_bias"]
+    ep = weights["ep"]
+    lanes_img = H * M
+    lanes = B * lanes_img
+
+    # per-image stream expansion (identical layout to the unpacked path)
+    cap = flat.shape[1]
+    bounds = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(counts, axis=1)[:, :-1]],
+        axis=1,
+    )
+    flat32 = flat.astype(jnp.uint32)
+    b_iota = jnp.arange(B)[:, None]
+    x0 = (
+        flat32[b_iota, jnp.minimum(bounds, cap - 1)]
+        | (flat32[b_iota, jnp.minimum(bounds + 1, cap - 1)] << np.uint32(16))
+    )  # (B, lanes_img)
+    jj = jnp.arange(max_w)[None, :, None]
+    src = bounds[:, None, :] + 2 + jj
+    words = jnp.where(
+        jj < (counts - 2)[:, None, :],
+        flat32[b_iota[:, :, None], jnp.minimum(src, cap - 1)],
+        jnp.uint32(0),
+    ).transpose(1, 0, 2).reshape(max_w, lanes)
+
+    A = min(H, (W + 2) // 3 + 1)
+    AM = A * M
+    T = 3 * (H - 1) + W
+    y_hat0 = jnp.zeros((B, H + 2 * _PAD, W + 2 * _PAD, M), jnp.float32)
+
+    def renorm(xa, cur_a, gid):
+        need = xa < _LANE_L
+        w = words[jnp.minimum(cur_a, max_w - 1), gid]
+        xa = jnp.where(need, (xa << np.uint32(16)) | w, xa)
+        return xa, cur_a + need.astype(jnp.int32)
+
+    def get_bits16(xa, cur_a, gid):
+        val = (xa & _LANE_MASK).astype(jnp.uint32)
+        xa = xa >> np.uint32(16)
+        xa, cur_a = renorm(xa, cur_a, gid)
+        return val, xa, cur_a
+
+    def step(t, carry):
+        y_hat, x2d, cur2d = carry
+        h_lo = jnp.maximum(0, (t - W + 3) // 3)
+        # all active rows live in [h_lo, h_lo+A); shift the window up at the
+        # bottom edge so the state slice stays in bounds — extra rows are
+        # simply inactive
+        w0 = jnp.minimum(h_lo, H - A)
+        hs = w0 + jnp.arange(A)  # < H by construction
+        ws = t - 3 * hs
+        active = (ws >= 0) & (ws < W)
+        ws_c = jnp.clip(ws, 0, W - 1)
+
+        crops = jax.vmap(
+            lambda img: jax.vmap(
+                lambda h, w: jax.lax.dynamic_slice(img, (h, w, 0), (_K, _K, M))
+            )(hs, ws_c)
+        )(y_hat)  # (B, A, K, K, M)
+        ctx = crops.reshape(B * A, -1) @ ctx_kernel + ctx_bias
+        p = params_hs[:, hs, ws_c].reshape(B * A, -1)
+        gp = _ep_apply(ep, jnp.concatenate([p, ctx], axis=-1))
+        scales_hat = gp[:, :M].reshape(B, A, M)
+        means_hat = gp[:, M:].reshape(B, A, M)
+        idx_w = jnp.searchsorted(
+            scale_table[:-1], jnp.maximum(scales_hat, 0.11), side="left"
+        ).astype(jnp.int32).reshape(B, AM)
+
+        lane_active = jnp.broadcast_to(
+            jnp.repeat(active, M)[None, :], (B, AM)
+        )
+        idx_w = jnp.where(lane_active, idx_w, 0)
+
+        xa = jax.lax.dynamic_slice(x2d, (0, w0 * M), (B, AM))
+        cur_a = jax.lax.dynamic_slice(cur2d, (0, w0 * M), (B, AM))
+        gid = b_iota * lanes_img + w0 * M + jnp.arange(AM)[None, :]
+
+        cum = (xa & _LANE_MASK).astype(jnp.uint32)
+        cum_i = cum.astype(jnp.int32)
+        sfv = sf[idx_w, cum_i]
+        start = jnp.where(lane_active, sfv & _LANE_MASK, jnp.uint32(0))
+        freq = jnp.where(
+            lane_active, (sfv >> np.uint32(16)) + np.uint32(1), _LANE_L
+        )
+        pv = post[idx_w, cum_i].astype(jnp.int32)
+
+        xa = freq * (xa >> np.uint32(16)) + cum - start
+        xa, cur_a = renorm(xa, cur_a, gid)
+
+        is_esc = lane_active & (pv == _WF_POST_ESC)
+
+        def esc_branch(args):
+            xa_in, cur_in = args
+            lo, x1, c1 = get_bits16(xa_in, cur_in, gid)
+            hi, x2, c2 = get_bits16(x1, c1, gid)
+            xa_out = jnp.where(is_esc, x2, xa_in)
+            cur_out = jnp.where(is_esc, c2, cur_in)
+            raw = (hi << np.uint32(16)) | lo
+            m = mo[idx_w]
+            off = (m & _LANE_MASK).astype(jnp.int32) - 32768
+            maxv = (m >> np.uint32(16)).astype(jnp.int32)
+            dec = (raw >> np.uint32(1)).astype(jnp.int32)
+            val = jnp.where(
+                (raw & np.uint32(1)) == 1, -dec - 1 + off, dec + maxv + off
+            )
+            return xa_out, cur_out, val
+
+        def no_esc(args):
+            xa_in, cur_in = args
+            return xa_in, cur_in, jnp.zeros((B, AM), jnp.int32)
+
+        xa, cur_a, esc_sym = jax.lax.cond(
+            jnp.any(is_esc), esc_branch, no_esc, (xa, cur_a)
+        )
+        symbol = jnp.where(is_esc, esc_sym, pv)
+
+        recon = symbol.reshape(B, A, M).astype(jnp.float32) + means_hat
+        hs_p = jnp.where(active, hs + _PAD, H + 2 * _PAD)
+        y_hat = y_hat.at[:, hs_p, ws_c + _PAD].set(recon, mode="drop")
+
+        x2d = jax.lax.dynamic_update_slice(x2d, xa, (0, w0 * M))
+        cur2d = jax.lax.dynamic_update_slice(cur2d, cur_a, (0, w0 * M))
+        return y_hat, x2d, cur2d
+
+    y_hat, x2d, cur2d = jax.lax.fori_loop(
+        0, T, step, (y_hat0, x0, jnp.zeros((B, lanes_img), jnp.int32))
+    )
+    return y_hat[:, _PAD : _PAD + H, _PAD : _PAD + W]
+
+
 def wavefront_decode_batch(blobs, params_hs, weights: ARWeightsDevice, tables,
                            scale_table, H: int, W: int):
     """Decode B lane-parallel AR blobs to (B, H, W, M) in one device
@@ -818,6 +973,16 @@ def wavefront_decode_batch(blobs, params_hs, weights: ARWeightsDevice, tables,
     for b, (f, c, _) in enumerate(unpacked):
         flat[b, : f.size] = f
         counts[b] = c
+    pt = tables.device_packed
+    if pt is not None:
+        # gather-lean path: fused sf/post lookups + contiguous-window lane
+        # slicing (state-identical to the unpacked path; tested)
+        return _wavefront_decode_batched_packed(
+            jnp.asarray(flat), jnp.asarray(counts), jnp.asarray(params_hs),
+            weights.tree(), jnp.asarray(scale_table),
+            pt["sf"], pt["post"], pt["mo"],
+            B, H, W, M, max_w,
+        )
     dev = tables.device
     # AR decode keeps the cum->symbol LUT even in low-memory mode: its table
     # is the (<=64-row) Gaussian scale table (~16 MB) and a per-step binary

@@ -73,3 +73,50 @@ def test_blob_smaller_than_raw(model):
     symbols, indexes, _ = wavefront_encode_symbols(y, params_hs, w8, model.scale_table)
     blob = encode_ar_lanes(np.asarray(symbols), np.asarray(indexes), model.tables["y"])
     assert len(blob) < H * W * M * 4  # beats raw int32 at least
+
+
+@pytest.mark.parametrize("scale", [2.0, 30.0])
+def test_batched_packed_decode_matches_unpacked(model, scale):
+    """The gather-lean batched decode (packed sf/post tables + contiguous
+    window lane slicing) must be state-identical to the unpacked batched
+    path and to per-image wavefront_decode — scale=30 forces the in-band
+    escape branch."""
+    from compressai_environment_tpu.parallel.wavefront import (
+        encode_ar_lanes_device_batch,
+        wavefront_decode_batch,
+        wavefront_encode_symbols_batch,
+    )
+
+    rng = np.random.default_rng(13)
+    B, H, W, M = 3, 6, 9, model.M
+    y = (rng.standard_normal((B, H, W, M)) * scale).astype(np.float32)
+    params_hs = rng.standard_normal((B, H, W, 2 * M)).astype(np.float32)
+    w8 = ARWeightsDevice(model.params, M)
+    tables = model.tables["y"]
+
+    symbols, indexes, y_hat_enc = wavefront_encode_symbols_batch(
+        y, params_hs, w8, model.scale_table
+    )
+    blobs = encode_ar_lanes_device_batch(symbols, indexes, tables)
+
+    assert tables.device_packed is not None  # packed path is live
+    y_packed = np.asarray(
+        wavefront_decode_batch(blobs, params_hs, w8, tables,
+                               model.scale_table, H, W)
+    )
+    # force the unpacked batched path on a fresh table object
+    import dataclasses
+    t2 = dataclasses.replace(tables)
+    object.__setattr__(t2, "_device_packed", None)
+    y_unpacked = np.asarray(
+        wavefront_decode_batch(blobs, params_hs, w8, t2,
+                               model.scale_table, H, W)
+    )
+    np.testing.assert_array_equal(y_packed, y_unpacked)
+    np.testing.assert_allclose(y_packed, np.asarray(y_hat_enc), atol=1e-5)
+
+    for b in range(B):
+        y_single = wavefront_decode(
+            blobs[b], params_hs[b], w8, tables, model.scale_table, H, W
+        )
+        np.testing.assert_allclose(y_packed[b], np.asarray(y_single), atol=1e-5)
