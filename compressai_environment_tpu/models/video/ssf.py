@@ -450,28 +450,45 @@ class ScaleSpaceFlow(CompressionModel):
 
     def _hyper_compress(self, branch, y):
         """Two-stage hyperprior coding with STE-consistent reconstruction
-        (reference ``Hyperprior.compress``, ``models/video/google.py:169-183``)."""
-        y = np.asarray(y)
-        z = np.asarray(self._run(f"{branch}_hyper_encode_z", jnp.asarray(y)))
+        (reference ``Hyperprior.compress``, ``models/video/google.py:169-183``).
+
+        The "tpu" path is fully device-resident — latents never visit the
+        host, and the z-stream fetch overlaps the hyper-synthesis +
+        y-coding dispatch (frames are several MB of latent per branch at
+        1080p, so host round trips dominate otherwise)."""
+        y = jnp.asarray(y)
+        z = self._run(f"{branch}_hyper_encode_z", y)
         z_tab = self.tables[f"{branch}_z"]
         y_tab = self.tables[f"{branch}_y"]
         medians = self._eb_medians(branch)
 
         fmt = self.stream_format
-        z_string = eb_ops.compress(z, medians, z_tab, fmt=fmt)
+        if fmt == "tpu":
+            z_handle = eb_ops.compress_async(z, medians, z_tab)
+            z_string = None
+        else:
+            z_string = eb_ops.compress(np.asarray(z), medians, z_tab, fmt=fmt)
         # lossless coding: the decoder's z_hat equals round(z - med) + med,
         # no bitstream round trip needed (cf. ScaleHyperprior._z_hat_on_device)
         med = jnp.asarray(medians)
-        z_hat = jnp.round(jnp.asarray(z, jnp.float32) - med) + med
+        z_hat = jnp.round(z.astype(jnp.float32) - med) + med
 
-        scales, means = self._run(f"{branch}_hyper_params", jnp.asarray(z_hat))
+        scales, means = self._run(f"{branch}_hyper_params", z_hat)
         indexes = build_indexes(scales, jnp.asarray(self.scale_table))
-        means = np.asarray(means)
-        y_string = gc_ops.compress(y, indexes, y_tab, means, fmt=fmt)
-        y_hat = np.round(y - means) + means
-        return jnp.asarray(y_hat), {
+        if fmt == "tpu":
+            y_handle = gc_ops.compress_async(y, indexes, y_tab, means)
+            y_hat = jnp.round(y - means) + means
+            y_string = y_handle.result()
+            z_string = z_handle.result()
+        else:
+            means_np = np.asarray(means)
+            y_string = gc_ops.compress(
+                np.asarray(y), indexes, y_tab, means_np, fmt=fmt
+            )
+            y_hat = jnp.asarray(np.round(np.asarray(y) - means_np) + means_np)
+        return y_hat, {
             "strings": [y_string, z_string],
-            "shape": z.shape[1:3],
+            "shape": tuple(z.shape[1:3]),
         }
 
     def _hyper_decompress(self, branch, strings, shape):
@@ -482,7 +499,9 @@ class ScaleSpaceFlow(CompressionModel):
         z_hat = eb_ops.decompress(strings[1], tuple(shape), medians, z_tab, fmt=fmt)
         scales, means = self._run(f"{branch}_hyper_params", jnp.asarray(z_hat))
         indexes = build_indexes(scales, jnp.asarray(self.scale_table))
-        y_hat = gc_ops.decompress(strings[0], indexes, y_tab, np.asarray(means), fmt=fmt)
+        if fmt != "tpu":
+            means = np.asarray(means)
+        y_hat = gc_ops.decompress(strings[0], indexes, y_tab, means, fmt=fmt)
         return jnp.asarray(y_hat)
 
     # -- codec surface ----------------------------------------------------
