@@ -45,9 +45,11 @@ __all__ = [
     "decode_interleaved_batch",
     "build_decode_lut",
     "build_search_cdf",
+    "build_compact_tables",
     "low_memory_mode",
     "EncodeDeviceHandle",
     "DEFAULT_LANES",
+    "ONEHOT_MAX_STRIDE",
 ]
 
 # Per-image lane count. The scan's per-step cost is dominated by dispatch
@@ -410,16 +412,274 @@ def build_packed_tables(quantized_cdf, cdf_length, offset, lut=None):
     return {"sf": sf, "post": post, "mo": mo, "cdf2": cdf2}
 
 
+# ---------------------------------------------------------------------------
+# Gather-free compact-table cores (one-hot MXU row select).
+#
+# Measured on TPU v5e (tools/decode_core_exp.py, 24x Kodak-size factorized
+# latents, 192 rows x stride 19): the sf-gather decode core runs 253 ms —
+# gather-latency-bound at ~12.5 ns per computed gather (2/symbol). Replacing
+# (a) the renorm-word fetch with an in-VMEM shifting word queue and (b) the
+# cum->(start,freq,symbol) table gather with an exact one-hot matmul over the
+# compact CDF rows + compare/count/max/min reductions runs the same decode in
+# 31 ms (8x) with ZERO gathers per symbol — and needs only the (rows, stride)
+# compact tables (~'65536x smaller than the sf/post/lut set).
+#
+# Exactness: the one-hot operand is 0/1 (bf16-exact); table entries are split
+# into hi/lo bytes (integers <= 256, bf16-exact); each product is exact and
+# each f32-accumulated output row has exactly one nonzero term, so
+# hi*256 + lo reconstructs the integer table value exactly. Verified
+# element-exact against the gather cores on TPU and CPU.
+# ---------------------------------------------------------------------------
+
+# compact one-hot decode is used when the table stride is at most this; the
+# per-step (lanes, stride) compare work grows linearly with stride, so wide
+# tables (the 64-row Gaussian scale table has stride ~3100) stay on the
+# packed sf-gather path
+ONEHOT_MAX_STRIDE = 96
+
+
+def build_compact_tables(quantized_cdf, cdf_length, offset):
+    """Split-byte matrices for the gather-free one-hot coder, or None when
+    the table is too wide / out of the int16 value range.
+
+    Returns dict:
+        dec_hi/dec_lo: (R, S+2) float32-storable split bytes of
+            [search_cdf | offset+32768 | max_value]
+        enc_hi/enc_lo: (R, 2(S-1)+2) split bytes of
+            [start_table | freq_table | offset+32768 | max_value]
+    (bf16 casting happens at device upload; all entries are <= 257 so the
+    bf16 cast is exact.)
+    """
+    quantized_cdf = np.asarray(quantized_cdf, np.int64)
+    cdf_length = np.asarray(cdf_length, np.int64)
+    offset = np.asarray(offset, np.int64)
+    R, S = quantized_cdf.shape
+    maxv = cdf_length - 2
+    if (
+        S > ONEHOT_MAX_STRIDE
+        or offset.min() < -32767
+        or offset.max() > 32767
+        or maxv.min() < 0
+        or maxv.max() >= (1 << 16)
+        or (offset + maxv).max() > 32767
+    ):
+        return None
+    cdfS = build_search_cdf(
+        quantized_cdf.astype(np.int32), cdf_length.astype(np.int32)
+    ).astype(np.int64)
+    offp = (offset + 32768)[:, None]
+    dec = np.concatenate([cdfS, offp, maxv[:, None]], axis=1)
+    start_t = quantized_cdf[:, : S - 1]
+    freq_t = np.maximum(quantized_cdf[:, 1:] - quantized_cdf[:, :-1], 0)
+    enc = np.concatenate([start_t, freq_t, offp, maxv[:, None]], axis=1)
+
+    def split(m):
+        return (m // 256).astype(np.float32), (m % 256).astype(np.float32)
+
+    dec_hi, dec_lo = split(dec)
+    enc_hi, enc_lo = split(enc)
+    return {"dec_hi": dec_hi, "dec_lo": dec_lo, "enc_hi": enc_hi, "enc_lo": enc_lo}
+
+
+def _onehot_rows(rows, R: int):
+    return (rows[..., None] == jnp.arange(R, dtype=jnp.int32)).astype(jnp.bfloat16)
+
+
+def _exact_select(onehot, tbl_hi, tbl_lo):
+    """Exact integer row select as two bf16 matmuls: onehot @ (hi*256+lo)."""
+    hi = jnp.matmul(onehot, tbl_hi, preferred_element_type=jnp.float32)
+    lo = jnp.matmul(onehot, tbl_lo, preferred_element_type=jnp.float32)
+    return hi * 256.0 + lo
+
+
+def _shift_refill(x, buf, need):
+    """Renorm from a per-lane word queue carried through the scan: lane reads
+    queue head and conditionally shifts its column up — no computed gather."""
+    w = buf[0]
+    x = jnp.where(need, (x << np.uint32(16)) | w, x)
+    shifted = jnp.concatenate(
+        [buf[1:], jnp.zeros((1, buf.shape[1]), jnp.uint32)]
+    )
+    buf = jnp.where(need[None, :], shifted, buf)
+    return x, buf
+
+
+def _expand_stream(flat, counts, max_w: int):
+    """Per-lane (x0, word-queue) from the flat uploaded word stream."""
+    cap = flat.shape[0]
+    flat32 = flat.astype(jnp.uint32)
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    x0 = flat32[jnp.minimum(bounds, cap - 1)] | (
+        flat32[jnp.minimum(bounds + 1, cap - 1)] << np.uint32(16)
+    )
+    j = jnp.arange(max_w)[:, None]
+    src = bounds[None, :] + 2 + j
+    valid = j < (counts - 2)[None, :]
+    buf = jnp.where(valid, flat32[jnp.minimum(src, cap - 1)], jnp.uint32(0))
+    return x0, buf
+
+
+@partial(jax.jit, static_argnames=("T",))
+def _decode_scan_onehot(x0, buf, rows, pad_mask, dec_hi, dec_lo, T: int):
+    """Gather-free decode scan. Emits per position:
+        v:  int16 decoded value (symbol+offset), _POST_ESC at escapes
+        mo: uint32 (offset+32768) | max_value << 16  (escape unfolding)
+    State evolution is bit-identical to the gather scans."""
+    R = dec_hi.shape[0]
+    S = dec_hi.shape[1] - 2
+
+    def step(carry, inp):
+        x, buf = carry
+        row, pad = inp
+        cum = (x & _MASK16).astype(jnp.int32)
+        ext = _exact_select(_onehot_rows(row, R), dec_hi, dec_lo)
+        rcdf = ext[:, :S]
+        offp = ext[:, S]
+        maxv = ext[:, S + 1]
+        le = rcdf <= cum.astype(jnp.float32)[:, None]
+        s = jnp.sum(le, axis=1).astype(jnp.int32) - 1
+        start = jnp.max(jnp.where(le, rcdf, 0.0), axis=1)
+        nxt = jnp.min(jnp.where(le, 65537.0, rcdf), axis=1)
+        startu = start.astype(jnp.uint32)
+        freq = (nxt - start).astype(jnp.uint32)
+        startu = jnp.where(pad, jnp.uint32(0), startu)
+        freq = jnp.where(pad, _L, freq)
+
+        maxv_i = maxv.astype(jnp.int32)
+        off_i = offp.astype(jnp.int32) - 32768
+        v = jnp.where(s == maxv_i, _POST_ESC, s + off_i)
+        v = jnp.where(pad, 0, v).astype(jnp.int16)
+        mo = offp.astype(jnp.uint32) | (
+            maxv.astype(jnp.uint32) << np.uint32(16)
+        )
+
+        x = freq * (x >> np.uint32(16)) + (x & _MASK16) - startu
+        x, buf = _shift_refill(x, buf, x < _L)
+        return (x, buf), (v, mo)
+
+    _, (vs, mos) = jax.lax.scan(step, (x0, buf), (rows, pad_mask))
+    return vs, mos
+
+
+@partial(jax.jit, static_argnames=("T", "lanes", "max_w", "has_raw"))
+def _decode_device_core_onehot(flat, counts, indexes, raw, dec_hi, dec_lo,
+                               T: int, lanes: int, max_w: int, has_raw: bool):
+    """Fused gather-free decode: stream expansion, one-hot scan, escape
+    unfolding. Returns (B, n) int32 symbols on device."""
+    B, n = indexes.shape
+    L = B * lanes
+    pad = T * lanes - n
+
+    x0, buf = _expand_stream(flat, counts, max_w)
+
+    def lane_layout(a, padval):
+        a = jnp.concatenate([a, jnp.full((B, pad), padval, a.dtype)], axis=1)
+        return a.reshape(B, lanes, T).transpose(2, 0, 1).reshape(T, L)
+
+    rows = lane_layout(indexes, jnp.int32(-1))
+    pad_mask = rows < 0
+
+    vs, mos = _decode_scan_onehot(x0, buf, rows, pad_mask, dec_hi, dec_lo, T)
+
+    def to_bn(a):
+        return a.reshape(T, B, lanes).transpose(1, 2, 0).reshape(B, lanes * T)[:, :n]
+
+    v = to_bn(vs).astype(jnp.int32)
+    if not has_raw:
+        return v
+
+    mo = to_bn(mos)
+    esc = v == _POST_ESC
+    pos = jnp.cumsum(esc, axis=1) - 1
+    rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], esc.shape)
+    raw_vals = raw[rows_b, jnp.clip(pos, 0, raw.shape[1] - 1)]
+    offset = (mo & _MASK16).astype(jnp.int32) - 32768
+    maxv = (mo >> np.uint32(16)).astype(jnp.int32)
+    dec = (raw_vals >> np.uint32(1)).astype(jnp.int32)
+    dec = jnp.where((raw_vals & np.uint32(1)) == 1, -dec - 1 + offset,
+                    dec + maxv + offset)
+    return jnp.where(esc, dec, v)
+
+
+@partial(jax.jit, static_argnames=("T", "lanes", "w_cap", "raw_cap"))
+def _encode_device_core_onehot(symbols, indexes, enc_hi, enc_lo,
+                               T: int, lanes: int, w_cap: int, raw_cap: int):
+    """On-device encode with gather-free one-hot (start,freq,offset,maxv)
+    lookups. Byte-compatible with the gather encode cores."""
+    B, n = symbols.shape
+    R = enc_hi.shape[0]
+    S1 = (enc_hi.shape[1] - 2) // 2  # = stride - 1
+
+    def per_image(args):
+        sym, idx = args
+        ext = _exact_select(_onehot_rows(idx, R), enc_hi, enc_lo)
+        off = ext[:, -2].astype(jnp.int32) - 32768
+        maxv = ext[:, -1].astype(jnp.int32)
+        value = sym - off
+        esc = (value < 0) | (value >= maxv)
+        raw = jnp.where(
+            value < 0, (-2 * value - 1), 2 * (value - maxv)
+        ).astype(jnp.uint32)
+        coded = jnp.where(esc, maxv, value)
+        colsel = (
+            coded[:, None] == jnp.arange(S1, dtype=jnp.int32)
+        ).astype(jnp.float32)
+        start = jnp.sum(ext[:, :S1] * colsel, axis=1)
+        freq = jnp.sum(ext[:, S1 : 2 * S1] * colsel, axis=1)
+        return (
+            start.astype(jnp.uint32), freq.astype(jnp.uint32), esc, raw
+        )
+
+    starts, freqs, esc, raw = jax.lax.map(per_image, (symbols, indexes))
+
+    # raw side channel: compact escapes per image (symbol order)
+    pos = jnp.cumsum(esc, axis=1) - 1
+    raw_counts = jnp.sum(esc, axis=1)
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], esc.shape)
+    raw_buf = jnp.zeros((B, raw_cap + 1), jnp.uint32)
+    raw_buf = raw_buf.at[
+        rows, jnp.where(esc, jnp.minimum(pos, raw_cap), raw_cap)
+    ].set(jnp.where(esc, raw, 0), mode="drop")
+    raw_overflow = jnp.any(raw_counts > raw_cap)
+
+    pad = T * lanes - n
+    L = B * lanes
+
+    def lane_layout(a, padval):
+        a = jnp.concatenate([a, jnp.full((B, pad), padval, a.dtype)], axis=1)
+        return a.reshape(B, lanes, T).transpose(2, 0, 1).reshape(T, L)
+
+    starts_tl = lane_layout(starts, jnp.uint32(0))
+    freqs_tl = lane_layout(freqs, jnp.uint32(1 << 16))
+
+    packed, counts, overflow = _encode_scan_packed(starts_tl, freqs_tl, T, w_cap)
+
+    # flat per-lane concatenation on device: download is entropy-sized
+    lane_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    jj = jnp.arange(w_cap)[:, None]
+    valid = jj < counts[None, :]
+    flat_cap = w_cap * L
+    dst = jnp.where(valid, lane_off[None, :] + jj, flat_cap)
+    flat = jnp.zeros((flat_cap + 1,), jnp.uint16)
+    flat = flat.at[dst].set(packed.astype(jnp.uint16), mode="drop")[:flat_cap]
+    return flat, counts, overflow, raw_buf[:, :raw_cap], raw_counts, raw_overflow
+
+
 @partial(jax.jit, static_argnames=("T",))
 def _decode_scan_sf(x0, words, rows, pad_mask, sf, T: int):
     """Single-table-gather decode scan: emits per-position `cum` (uint16);
-    symbols are recovered afterwards in one bulk `post` gather. Bit-identical
-    to :func:`_decode_scan` state evolution."""
-    lanes = rows.shape[1]
-    lane_iota = jnp.arange(lanes)
+    symbols are recovered afterwards in one bulk `post` gather. Renorm words
+    come from the shifting word queue (``words`` doubles as the initial
+    queue) instead of a per-step computed gather — measured 22% faster
+    (tools/decode_core_exp.py V1). Bit-identical to :func:`_decode_scan`
+    state evolution."""
 
     def step(carry, inp):
-        x, cursor = carry
+        x, buf = carry
         row, pad = inp
         cum = (x & _MASK16).astype(jnp.uint32)
         safe_row = jnp.maximum(row, 0)
@@ -430,15 +690,10 @@ def _decode_scan_sf(x0, words, rows, pad_mask, sf, T: int):
         freq = jnp.where(pad, _L, freq)
 
         x = freq * (x >> np.uint32(16)) + cum - start
-        need = x < _L
-        w = words[jnp.minimum(cursor, words.shape[0] - 1), lane_iota]
-        x = jnp.where(need, (x << np.uint32(16)) | w, x)
-        cursor = cursor + need.astype(jnp.int32)
-        return (x, cursor), cum.astype(jnp.uint16)
+        x, buf = _shift_refill(x, buf, x < _L)
+        return (x, buf), cum.astype(jnp.uint16)
 
-    (x, cursor), cums = jax.lax.scan(
-        step, (x0, jnp.zeros((lanes,), jnp.int32)), (rows, pad_mask)
-    )
+    (x, _), cums = jax.lax.scan(step, (x0, words), (rows, pad_mask))
     return cums
 
 
@@ -452,21 +707,8 @@ def _decode_device_core2(flat, counts, indexes, raw, raw_counts, sf, post, mo,
     B, n = indexes.shape
     L = B * lanes
     pad = T * lanes - n
-    cap = flat.shape[0]
 
-    bounds = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
-    )
-    flat32 = flat.astype(jnp.uint32)
-    x0 = flat32[jnp.minimum(bounds, cap - 1)] | (
-        flat32[jnp.minimum(bounds + 1, cap - 1)] << np.uint32(16)
-    )
-    j = jnp.arange(max_w)[:, None]
-    src = bounds[None, :] + 2 + j
-    valid = j < (counts - 2)[None, :]
-    words = jnp.where(
-        valid, flat32[jnp.minimum(src, cap - 1)], jnp.uint32(0)
-    )
+    x0, words = _expand_stream(flat, counts, max_w)
 
     def lane_layout(a, padval):
         a = jnp.concatenate([a, jnp.full((B, pad), padval, a.dtype)], axis=1)
@@ -908,13 +1150,20 @@ class EncodeDeviceHandle:
         T = _lane_layout(n, lanes)
         self._w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
         raw_cap = max(256, n // 32)
-        pt = tables.device_packed
-        self._pt = pt
-        if pt is not None:
+        ct = tables.device_compact
+        pt = None if ct is not None else tables.device_packed
+        self._pt = ct if ct is not None else pt
+        if ct is not None:
+            out = _encode_device_core_onehot(
+                symbols_dev, indexes_dev, ct["enc_hi"], ct["enc_lo"],
+                T, lanes, self._w_cap, raw_cap,
+            )
+        elif pt is not None:
             out = _encode_device_core2(
                 symbols_dev, indexes_dev, pt["cdf2"], pt["mo"],
                 T, lanes, self._w_cap, raw_cap,
             )
+        if self._pt is not None:
             (self._flat_dev, self._counts, self._overflow, self._raw,
              self._raw_counts, self._raw_ovf) = out
             for a in (self._counts, self._raw_counts, self._overflow,
@@ -1038,6 +1287,18 @@ def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None):
     for b, u in enumerate(unpacked):
         raw[b, : u[3].size] = u[3]
         raw_counts[b] = u[3].size
+
+    ct = tables.device_compact
+    if ct is not None:
+        total = int(counts_all.sum())
+        cap = -(-total // 65536) * 65536
+        stream_all = np.zeros(cap, np.uint16)
+        stream_all[:total] = np.concatenate([u[2] for u in unpacked])
+        return _decode_device_core_onehot(
+            jnp.asarray(stream_all), jnp.asarray(counts_all.astype(np.int32)),
+            indexes_dev, jnp.asarray(raw),
+            ct["dec_hi"], ct["dec_lo"], T, lanes, max_w, has_raw,
+        )
 
     pt = tables.device_packed
     if pt is not None:

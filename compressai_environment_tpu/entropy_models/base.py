@@ -92,6 +92,30 @@ class CdfTables:
         return dev
 
     @property
+    def device_compact(self):
+        """Cached device copies of the gather-free one-hot coding tables
+        (``vrans.build_compact_tables``): split-byte bf16 matrices over the
+        compact (rows, stride) CDF, ~4 KB/row. Returns None for wide tables
+        (stride > ``vrans.ONEHOT_MAX_STRIDE``) or out-of-int16-range values —
+        those fall back to the packed sf-gather path. Available in low-memory
+        mode too (it IS the low-memory representation, and the fastest)."""
+        dev = getattr(self, "_device_compact", "unset")
+        if dev == "unset":
+            import jax.numpy as jnp
+
+            from ..entropy.vrans import build_compact_tables
+
+            host = build_compact_tables(
+                self.quantized_cdf, self.cdf_length, self.offset
+            )
+            dev = (
+                {k: jnp.asarray(v).astype(jnp.bfloat16) for k, v in host.items()}
+                if host is not None else None
+            )
+            object.__setattr__(self, "_device_compact", dev)
+        return dev
+
+    @property
     def device_packed(self):
         """Cached device copies of the gather-minimizing packed tables
         (``vrans.build_packed_tables``), or None if the table ranges don't
@@ -122,14 +146,20 @@ class CdfTables:
         this object would upload in the current mode — the decode-table
         memory story for capacity planning."""
         n, stride = self.quantized_cdf.shape
-        from ..entropy.vrans import low_memory_mode
+        from ..entropy.vrans import build_compact_tables, low_memory_mode
 
         base = {
             "cdf": n * stride * 4,
             "sizes": n * 4,
             "offsets": n * 4,
         }
-        if low_memory_mode():
+        if build_compact_tables(
+            self.quantized_cdf, self.cdf_length, self.offset
+        ) is not None:
+            # gather-free one-hot coder: split-byte bf16 matrices only
+            base["dec_hi_lo"] = 2 * n * (stride + 2) * 2
+            base["enc_hi_lo"] = 2 * n * (2 * stride) * 2
+        elif low_memory_mode():
             base["cdf_search"] = n * stride * 4
         else:
             base["lut"] = n * (1 << 16) * 4

@@ -175,11 +175,62 @@ class TestDeviceResidentAPI:
         np.testing.assert_array_equal(np.asarray(out), symbols)
 
 
+class TestCompactOneHotPath:
+    def test_compact_tables_selected_and_small(self, rng):
+        """Small-stride tables use the gather-free one-hot coder: compact
+        split-byte matrices only (~KBs), no 65536-wide LUT/sf/post set."""
+        from compressai_environment_tpu.entropy_models import CdfTables
+        from compressai_environment_tpu.entropy.vrans import build_compact_tables
+
+        cdfs, sizes, offsets = _table(rng)
+        tables = CdfTables(cdfs, sizes, offsets)
+        assert tables.device_compact is not None
+        b = tables.device_bytes()
+        assert "lut" not in b and "sf" not in b
+        assert b["total"] < 8 * (1 << 16)  # far below one LUT row
+
+        wide = np.zeros((4, 200), np.int32)
+        wide[:, :3] = [0, 30000, 65536]
+        assert build_compact_tables(wide, np.full(4, 3), np.zeros(4)) is None
+
+    def test_compact_exactness_vs_generic(self, rng):
+        """One-hot split-byte matmul select is integer-exact: blobs and
+        decoded symbols match the generic (pure-integer) cores, escapes
+        included."""
+        import jax.numpy as jnp
+
+        from compressai_environment_tpu.entropy_models import CdfTables
+        from compressai_environment_tpu.entropy.vrans import (
+            decode_batch_device,
+            encode_batch_device,
+            encode_interleaved_batch,
+        )
+
+        cdfs, sizes, offsets = _table(rng)
+        tables = CdfTables(cdfs, sizes, offsets)
+        assert tables.device_compact is not None
+        B, n, lanes = 3, 2500, 32
+        indexes = rng.integers(0, 8, size=(B, n)).astype(np.int32)
+        symbols = rng.integers(-300, 300, size=(B, n)).astype(np.int32)
+
+        dev_blobs = encode_batch_device(
+            jnp.asarray(symbols), jnp.asarray(indexes), tables, lanes
+        )
+        host_blobs = encode_interleaved_batch(
+            symbols, indexes, cdfs, sizes, offsets, lanes
+        )
+        assert dev_blobs == host_blobs
+        out = decode_batch_device(dev_blobs, jnp.asarray(indexes), tables)
+        np.testing.assert_array_equal(np.asarray(out), symbols)
+
+
 class TestLowMemoryMode:
     def test_low_mem_decode_matches(self, rng, monkeypatch):
-        """COMPRESSAI_TPU_LOW_MEM=1: no LUT / packed tables on device;
-        binary-search decode recovers identical symbols from identical
-        blobs, and the device table footprint shrinks by ~1000x."""
+        """COMPRESSAI_TPU_LOW_MEM=1 with a WIDE table (stride above the
+        one-hot limit, so the big LUT/sf/post set would otherwise be built):
+        no LUT / packed tables on device; binary-search decode recovers
+        identical symbols from identical blobs, and the device table
+        footprint shrinks by ~1000x."""
         import jax.numpy as jnp
 
         from compressai_environment_tpu.entropy_models import CdfTables
@@ -188,7 +239,7 @@ class TestLowMemoryMode:
             encode_batch_device,
         )
 
-        cdfs, sizes, offsets = _table(rng)
+        cdfs, sizes, offsets = _table(rng, ncdfs=8, max_support=150)
         B, n = 2, 2000
         indexes = rng.integers(0, 8, size=(B, n)).astype(np.int32)
         symbols = rng.integers(-60, 60, size=(B, n)).astype(np.int32)
