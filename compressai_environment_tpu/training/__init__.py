@@ -2,6 +2,7 @@ from .losses import rate_distortion_loss
 from .optim import (
     PlateauScheduler,
     TrainState,
+    eval_step,
     get_learning_rate,
     init_train_state,
     make_optimizers,
@@ -14,6 +15,7 @@ __all__ = [
     "make_optimizers",
     "init_train_state",
     "train_step",
+    "eval_step",
     "TrainState",
     "PlateauScheduler",
     "set_learning_rate",

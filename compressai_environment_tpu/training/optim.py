@@ -175,3 +175,15 @@ def train_step(net, state: TrainState, txs, batch, key, lmbda: float,
     losses = dict(losses)
     losses["aux_loss"] = aux_val
     return new_state, losses
+
+
+def eval_step(net, params, batch, lmbda: float, loss_fn):
+    """Deterministic held-out loss (reference ``test_epoch``,
+    ``examples/train.py:168-196``): eval-mode forward (round-to-median
+    quantization instead of additive noise) + RD loss + aux loss."""
+    out = net.apply({"params": params}, batch, False)
+    losses = dict(loss_fn(out, batch, lmbda))
+    losses["aux_loss"] = net.apply(
+        {"params": params}, method=type(net).eb_aux_loss
+    )
+    return losses

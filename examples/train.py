@@ -43,6 +43,28 @@ def batched(dataset, batch_size, patch, seed):
         yield batch
 
 
+def center_crop(img, size):
+    h, w = img.shape[:2]
+    if h < size or w < size:
+        reps = (max(1, -(-size // h)), max(1, -(-size // w)), 1)
+        img = np.tile(img, reps)
+        h, w = img.shape[:2]
+    top, left = (h - size) // 2, (w - size) // 2
+    return img[top : top + size, left : left + size]
+
+
+def test_batches(dataset, batch_size, patch):
+    """Deterministic eval batches (reference test set uses CenterCrop,
+    ``examples/train.py:293-296``); a short tail batch is dropped only if a
+    full batch exists, so tiny datasets still evaluate."""
+    n = len(dataset)
+    step = min(batch_size, n)
+    for i in range(0, n - step + 1, step):
+        yield np.stack(
+            [center_crop(dataset[int(j)], patch) for j in range(i, i + step)]
+        )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Training script.")
     parser.add_argument("-m", "--model", default="bmshj2018-factorized",
@@ -72,6 +94,7 @@ def main(argv=None):
     from compressai_environment_tpu.datasets import ImageFolder
     from compressai_environment_tpu.training import (
         PlateauScheduler,
+        eval_step,
         init_train_state,
         rate_distortion_loss,
         set_learning_rate,
@@ -114,6 +137,12 @@ def main(argv=None):
         print(f"Resumed from {args.checkpoint} at epoch {start_epoch}")
 
     train_ds = ImageFolder(args.dataset, split="train")
+    try:
+        test_ds = ImageFolder(args.dataset, split="test")
+    except (FileNotFoundError, RuntimeError):
+        # no held-out split: fall back to scheduling on the train loss
+        test_ds = None
+        print("warning: no test/ split found; LR plateau steps on train loss")
     patch = args.patch_size[0]
 
     if args.data_parallel and jax.device_count() > 1:
@@ -131,6 +160,10 @@ def main(argv=None):
             )
         )
         step_fn = jitted
+
+    eval_fn = jax.jit(
+        lambda p, b: eval_step(model.net, p, b, args.lmbda, rate_distortion_loss)
+    )
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
@@ -151,7 +184,28 @@ def main(argv=None):
         if not nsteps:
             raise RuntimeError("dataset smaller than one batch")
 
-        epoch_loss = float(losses["loss"])
+        # per-epoch held-out evaluation; the LR plateau steps on the TEST
+        # loss, as the reference does (examples/train.py:327-330)
+        params = state.params
+        if test_ds is not None and len(test_ds):
+            sums, cnt = {}, 0
+            for tb in test_batches(test_ds, args.test_batch_size, patch):
+                tl = eval_fn(params, tb)
+                for k, v in tl.items():
+                    sums[k] = sums.get(k, 0.0) + float(v) * len(tb)
+                cnt += len(tb)
+            test_losses = {k: v / cnt for k, v in sums.items()}
+            print(
+                f"Test epoch {epoch}: Average losses: "
+                f"Loss: {test_losses['loss']:.3f} | "
+                f"MSE loss: {test_losses['mse_loss']:.5f} | "
+                f"Bpp loss: {test_losses['bpp_loss']:.2f} | "
+                f"Aux loss: {test_losses['aux_loss']:.2f}"
+            )
+            epoch_loss = test_losses["loss"]
+        else:
+            epoch_loss = float(losses["loss"])
+
         lr = scheduler.step(epoch_loss)
         state = state._replace(
             main_opt_state=set_learning_rate(state.main_opt_state, lr)

@@ -24,10 +24,14 @@ def fake_imagefolder(tmp_path_factory):
 
     root = tmp_path_factory.mktemp("fakedata")
     (root / "train").mkdir()
+    (root / "test").mkdir()
     rng = np.random.default_rng(0)
     for i in range(8):
         arr = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
         Image.fromarray(arr).save(root / "train" / f"img{i}.png")
+    for i in range(2):
+        arr = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "test" / f"img{i}.png")
     return root
 
 

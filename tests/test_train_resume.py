@@ -146,11 +146,15 @@ def test_learning_rate_change_affects_updates():
 def test_seeded_training_log_regression():
     """Numeric regression of a seeded short training run against a golden
     loss trajectory (reference ``tests/test_train.py:40-88`` compares a
-    10-epoch seeded train log within tolerance). GENERATE_EXPECTED=1
-    rewrites the fixture."""
+    10-epoch seeded train log within tolerance), including the held-out
+    eval losses the LR plateau steps on (reference
+    ``examples/train.py:327-330``). GENERATE_EXPECTED=1 rewrites the
+    fixture."""
     import json
     import os
     from pathlib import Path
+
+    from compressai_environment_tpu.training import eval_step
 
     fixture = Path(__file__).parent / "expected" / "train_log_seeded.json"
     generate = os.environ.get("GENERATE_EXPECTED") == "1"
@@ -158,11 +162,23 @@ def test_seeded_training_log_regression():
     net, state, txs = _make_setup(seed=5)
     base_key = jax.random.key(99)
     batches = _batches(8, seed=13)
-    _, losses = _run_steps(net, state, txs, batches, base_key)
+    test_batch = _batches(1, seed=31)[0]
+    losses, test_losses = [], []
+    for i, b in enumerate(batches):
+        key = jax.random.fold_in(base_key, i)
+        state, out = train_step(net, state, txs, b, key, 0.01,
+                                rate_distortion_loss)
+        losses.append(float(out["loss"]))
+        test_losses.append(float(eval_step(
+            net, state.params, test_batch, 0.01, rate_distortion_loss
+        )["loss"]))
 
     if generate or not fixture.exists():
-        fixture.write_text(json.dumps({"losses": losses}))
+        fixture.write_text(json.dumps(
+            {"losses": losses, "test_losses": test_losses}
+        ))
         if generate:
             pytest.skip("generated fixture")
-    expected = json.loads(fixture.read_text())["losses"]
-    np.testing.assert_allclose(losses, expected, rtol=1e-4)
+    expected = json.loads(fixture.read_text())
+    np.testing.assert_allclose(losses, expected["losses"], rtol=1e-4)
+    np.testing.assert_allclose(test_losses, expected["test_losses"], rtol=1e-4)
