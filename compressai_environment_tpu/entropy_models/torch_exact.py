@@ -14,8 +14,8 @@ as the reference, so a checkpoint baked here is byte-compatible with one
 baked by the reference tooling. It is an offline, one-time, host-side step —
 the TPU coding path consumes the resulting integer tables unchanged. When
 torch is not installed, callers fall back to the pure numpy/JAX builders
-(self-consistent streams whose tables may differ from reference baking by
-±1/65536 per bin).
+(self-consistent streams; identical lengths/offsets, CDF bins within
+2/65536 of reference baking — enforced by ``tests/test_pure_tables.py``).
 
 Set ``COMPRESSAI_TPU_PURE_TABLES=1`` to force the pure fallback.
 """
