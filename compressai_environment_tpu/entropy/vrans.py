@@ -24,10 +24,16 @@ range (every intermediate < 2^24), with a one-step integer correction.
 
 Blob layout (all little-endian):
     u32 n_symbols | u16 lanes | u16 flags | u32 n_raw
-    u32 words_per_lane[lanes]            (includes the 2 state words)
+    u16 words_per_lane[lanes]            (includes the 2 state words;
+                                          u32 when flags bit 0 is set, for
+                                          per-lane schedules past 65535)
     u16 stream words, lane-major         (per lane: state_low, state_high,
                                           then renorm words in decode order)
     u32 raw escape values[n_raw]         (in symbol order)
+
+The default lane count adapts to the tensor size (``pick_lanes``): each
+lane carries ~6 bytes of fixed cost (2 flush words + its count), so small
+tensors code with proportionally fewer lanes.
 """
 
 from __future__ import annotations
@@ -49,6 +55,7 @@ __all__ = [
     "low_memory_mode",
     "EncodeDeviceHandle",
     "DEFAULT_LANES",
+    "pick_lanes",
     "ONEHOT_MAX_STRIDE",
 ]
 
@@ -827,14 +834,52 @@ def _prepare_lane_params(symbols, indexes_flat, cdfs, cdfs_sizes, offsets, lanes
     return starts.reshape(lanes, T).T, freqs.reshape(lanes, T).T, raw, T
 
 
-def _pack_blob(n, lanes, raw, counts, per_lane_words) -> bytes:
+_FLAG_COUNTS_U32 = 1  # u32 per-lane counts (T+2 > 0xFFFF); default u16
+
+
+def pick_lanes(n: int) -> int:
+    """Default lane count for an n-symbol tensor.
+
+    Each lane costs 2 flush words + a count field (~6 bytes of fixed
+    overhead), so small tensors get proportionally fewer lanes: the widest
+    power of two keeping >= ~256 positions per lane, capped at
+    ``DEFAULT_LANES`` (a 24-image Kodak-size batch already fills the VPU at
+    1024 lanes/image). At 1024 lanes the per-lane schedule also stays well
+    under the u16 count range for any realistic image."""
+    if n >= 256 * DEFAULT_LANES:
+        return DEFAULT_LANES
+    lanes = max(1, n // 256)
+    return 1 << (lanes.bit_length() - 1)
+
+
+def _pack_header_counts(n, lanes, n_raw, counts) -> bytes:
+    counts = np.asarray(counts, np.int64)
+    wide = bool(counts.size) and int(counts.max()) > 0xFFFF
     header = np.zeros(3, dtype="<u4")
     header[0] = n
-    header[1] = lanes
-    header[2] = raw.size
+    header[1] = lanes | ((_FLAG_COUNTS_U32 if wide else 0) << 16)
+    header[2] = n_raw
+    return header.tobytes() + counts.astype("<u4" if wide else "<u2").tobytes()
+
+
+def _unpack_header_counts(blob: bytes):
+    """Returns (n, lanes, n_raw, counts, offset_past_counts)."""
+    header = np.frombuffer(blob[:12], dtype="<u4")
+    n, lanes, n_raw = int(header[0]), int(header[1] & 0xFFFF), int(header[2])
+    flags = int(header[1] >> 16)
+    off = 12
+    if flags & _FLAG_COUNTS_U32:
+        counts = np.frombuffer(blob[off : off + 4 * lanes], dtype="<u4")
+        off += 4 * lanes
+    else:
+        counts = np.frombuffer(blob[off : off + 2 * lanes], dtype="<u2")
+        off += 2 * lanes
+    return n, lanes, n_raw, counts.astype(np.int64), off
+
+
+def _pack_blob(n, lanes, raw, counts, per_lane_words) -> bytes:
     return b"".join([
-        header.tobytes(),
-        counts.astype("<u4").tobytes(),
+        _pack_header_counts(n, lanes, raw.size, counts),
         np.concatenate(per_lane_words).astype("<u2").tobytes()
         if per_lane_words else b"",
         raw.astype("<u4").tobytes(),
@@ -847,7 +892,7 @@ def _pack_from_scan(packed_np, counts, state=None):
 
 
 def encode_interleaved_batch(
-    symbols, indexes, cdfs, cdfs_sizes, offsets, lanes: int = DEFAULT_LANES
+    symbols, indexes, cdfs, cdfs_sizes, offsets, lanes: int = None
 ):
     """Encode (B, n) symbol planes in ONE device scan over B*lanes lanes.
 
@@ -860,6 +905,7 @@ def encode_interleaved_batch(
     symbols = np.asarray(symbols, np.int32)
     indexes = np.asarray(indexes, np.int32)
     B, n = symbols.shape
+    lanes = pick_lanes(n) if lanes is None else lanes
 
     starts_l, freqs_l, raws = [], [], []
     for b in range(B):
@@ -956,13 +1002,9 @@ def decode_interleaved_batch(
 
 
 def _unpack_blob(blob: bytes, n_expected: int):
-    header = np.frombuffer(blob[:12], dtype="<u4")
-    n, lanes, n_raw = int(header[0]), int(header[1] & 0xFFFF), int(header[2])
+    n, lanes, n_raw, counts, off = _unpack_header_counts(blob)
     if n != n_expected:
         raise ValueError(f"blob holds {n} symbols, indexes imply {n_expected}")
-    off = 12
-    counts = np.frombuffer(blob[off : off + 4 * lanes], dtype="<u4").astype(np.int64)
-    off += 4 * lanes
     total_words = int(counts.sum())
     stream = np.frombuffer(blob[off : off + 2 * total_words], dtype="<u2")
     off += 2 * total_words
@@ -983,7 +1025,7 @@ def _unfold_escapes(coded, indexes_flat, cdfs_sizes, offsets, raw):
 
 
 def encode_interleaved(
-    symbols, indexes, cdfs, cdfs_sizes, offsets, lanes: int = DEFAULT_LANES
+    symbols, indexes, cdfs, cdfs_sizes, offsets, lanes: int = None
 ) -> bytes:
     """Encode one tensor into the interleaved-lane blob format."""
     cdfs = np.asarray(cdfs, np.int32)
@@ -991,6 +1033,7 @@ def encode_interleaved(
     offsets = np.asarray(offsets, np.int32)
     indexes_flat = np.asarray(indexes, np.int32).reshape(-1)
     n = indexes_flat.size
+    lanes = pick_lanes(n) if lanes is None else lanes
 
     starts, freqs, raw, T = _prepare_lane_params(
         np.asarray(symbols, np.int32).reshape(-1), indexes_flat,
@@ -1030,13 +1073,8 @@ def encode_interleaved(
             [packed_np[: counts[l], l] for l in range(lanes)]
         ) if lanes else np.zeros(0, np.uint16)
 
-    header = np.zeros(3, dtype="<u4")
-    header[0] = n
-    header[1] = lanes  # u16 lanes | u16 flags packed in one u32
-    header[2] = raw.size
     blob = b"".join([
-        header.tobytes(),
-        counts.astype("<u4").tobytes(),
+        _pack_header_counts(n, lanes, raw.size, counts),
         stream.astype("<u2").tobytes(),
         raw.astype("<u4").tobytes(),
     ])
@@ -1054,14 +1092,9 @@ def decode_interleaved(
     shape = indexes.shape
     indexes_flat = indexes.reshape(-1)
 
-    header = np.frombuffer(blob[:12], dtype="<u4")
-    n, lanes, n_raw = int(header[0]), int(header[1] & 0xFFFF), int(header[2])
+    n, lanes, n_raw, counts, off = _unpack_header_counts(blob)
     if n != indexes_flat.size:
         raise ValueError(f"blob holds {n} symbols, indexes imply {indexes_flat.size}")
-
-    off = 12
-    counts = np.frombuffer(blob[off : off + 4 * lanes], dtype="<u4").astype(np.int64)
-    off += 4 * lanes
     total_words = int(counts.sum())
     stream = np.frombuffer(blob[off : off + 2 * total_words], dtype="<u2")
     off += 2 * total_words
@@ -1127,8 +1160,9 @@ class EncodeDeviceHandle:
     queued asynchronously, only ``result()`` blocks."""
 
     def __init__(self, symbols_dev, indexes_dev, tables,
-                 lanes: int = DEFAULT_LANES):
+                 lanes: int = None):
         B, n = symbols_dev.shape
+        lanes = pick_lanes(n) if lanes is None else lanes
         self._B, self._n, self._lanes = B, n, lanes
         self._tables = tables
         self._symbols = symbols_dev
@@ -1197,17 +1231,18 @@ def _pack_device_blobs(B, n, lanes, counts_np, flat, raw_np, raw_counts_np):
     for b in range(B):
         lo = lane_bounds[b * lanes]
         hi = lane_bounds[(b + 1) * lanes]
-        header = np.array([n, lanes, raw_counts_np[b]], dtype="<u4")
         blobs.append(b"".join([
-            header.tobytes(),
-            counts_np[b * lanes : (b + 1) * lanes].astype("<u4").tobytes(),
+            _pack_header_counts(
+                n, lanes, raw_counts_np[b],
+                counts_np[b * lanes : (b + 1) * lanes],
+            ),
             flat[lo:hi].astype("<u2").tobytes(),
             raw_np[b, : raw_counts_np[b]].astype("<u4").tobytes(),
         ]))
     return blobs
 
 
-def encode_batch_device(symbols_dev, indexes_dev, tables, lanes: int = DEFAULT_LANES):
+def encode_batch_device(symbols_dev, indexes_dev, tables, lanes: int = None):
     """Encode (B, n) device symbol/index arrays into per-image blobs.
 
     Byte-identical to :func:`encode_interleaved_batch` on the same inputs.
@@ -1219,9 +1254,10 @@ def encode_batch_device(symbols_dev, indexes_dev, tables, lanes: int = DEFAULT_L
 
 
 def encode_batch_device_generic(symbols_dev, indexes_dev, tables,
-                                lanes: int = DEFAULT_LANES):
+                                lanes: int = None):
     """Generic-table fallback for :func:`encode_batch_device`."""
     B, n = symbols_dev.shape
+    lanes = pick_lanes(n) if lanes is None else lanes
     T = _lane_layout(n, lanes)
     w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
     raw_cap = max(256, n // 32)
@@ -1249,14 +1285,24 @@ def encode_batch_device_generic(symbols_dev, indexes_dev, tables,
     return _pack_device_blobs(B, n, lanes, counts_np, flat, raw_np, raw_counts_np)
 
 
-def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None):
+def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None,
+                        sharding=None):
     """Decode per-image blobs to a (B, n) int32 symbol array ON DEVICE.
 
     With packed tables the host only concatenates the raw blob words and
     uploads the entropy-sized flat stream; lane expansion, the scan, symbol
     recovery and escape unfolding are all fused on device.
+
+    ``sharding``: optional ``NamedSharding`` with the batch axis sharded
+    (e.g. ``P("dp")``); the per-image index/lane layout is placed with it so
+    XLA partitions the decode scan and symbol recovery across the mesh (the
+    lane axis carries the batch sharding — images are independent streams).
+    The flat word stream and tables stay replicated (entropy-sized).
     """
-    indexes_dev = jnp.asarray(indexes_dev)
+    if sharding is not None:
+        indexes_dev = jax.device_put(np.asarray(indexes_dev), sharding)
+    else:
+        indexes_dev = jnp.asarray(indexes_dev)
     B, n = indexes_dev.shape
     unpacked = [_unpack_blob(blob, n) for blob in blobs]
     lanes = unpacked[0][0]

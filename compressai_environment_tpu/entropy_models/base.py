@@ -220,7 +220,6 @@ def compress_symbols_interleaved(
         )
     if symbols.shape != indexes.shape:
         raise ValueError("`inputs` and `indexes` should have the same size.")
-    lanes = lanes or vrans.DEFAULT_LANES
     batch = symbols.shape[0]
     return vrans.encode_interleaved_batch(
         symbols.reshape(batch, -1), indexes.reshape(batch, -1),

@@ -75,7 +75,7 @@ class TestInterleavedRoundTrip:
 
         blob = encode_interleaved(symbols, indexes, cdfs, sizes, offsets, lanes)
         ref = encode_with_indexes(symbols, indexes, cdfs, sizes, offsets)
-        overhead = 12 + 4 * lanes + 4 * lanes  # header + counts + flush words
+        overhead = 12 + 2 * lanes + 4 * lanes  # header + u16 counts + flush
         assert len(blob) <= len(ref) * 1.02 + overhead
 
     def test_lut(self, rng):
