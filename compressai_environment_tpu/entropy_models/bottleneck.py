@@ -244,11 +244,12 @@ def compress_async(x, medians: np.ndarray, tables: CdfTables):
 
 
 def decompress(strings, spatial_shape, medians: np.ndarray, tables: CdfTables,
-               fmt: str = "rans"):
+               fmt: str = "rans", sharding=None):
     """Inverse of :func:`compress`; returns (B, *spatial_shape, C) float32.
 
     The "tpu" path decodes on device and returns a device array (no host
-    round trip before the synthesis transform)."""
+    round trip before the synthesis transform). ``sharding`` (tpu format
+    only) shards the decode over a mesh batch axis."""
     c = tables.num_cdfs
     out_shape = (len(strings),) + tuple(spatial_shape) + (c,)
     if fmt == "tpu":
@@ -258,7 +259,9 @@ def decompress(strings, spatial_shape, medians: np.ndarray, tables: CdfTables,
         indexes = jnp.broadcast_to(
             jnp.arange(c, dtype=jnp.int32), out_shape
         ).reshape(b, -1)
-        symbols = vrans.decode_batch_device(strings, indexes, tables)
+        symbols = vrans.decode_batch_device(
+            strings, indexes, tables, sharding=sharding
+        )
         return (
             symbols.reshape(out_shape).astype(jnp.float32)
             + jnp.asarray(medians, jnp.float32).reshape(-1)

@@ -195,15 +195,16 @@ def compress_async(inputs, indexes, tables: CdfTables, means=None):
 
 
 def decompress(strings, indexes, tables: CdfTables, means=None,
-               fmt: str = "rans"):
-    """"tpu": decodes on device and returns a device array."""
+               fmt: str = "rans", sharding=None):
+    """"tpu": decodes on device and returns a device array; ``sharding``
+    shards the decode over a mesh batch axis."""
     if fmt == "tpu":
         from ..entropy import vrans
 
         idx = jnp.asarray(indexes)
         b = idx.shape[0]
         symbols = vrans.decode_batch_device(
-            strings, idx.reshape(b, -1), tables
+            strings, idx.reshape(b, -1), tables, sharding=sharding
         ).reshape(idx.shape)
         if means is not None:
             return symbols.astype(jnp.float32) + jnp.asarray(means, jnp.float32)

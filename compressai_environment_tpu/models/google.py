@@ -137,12 +137,12 @@ class FactorizedPrior(CompressionModel):
 
         return _Handle()
 
-    def decompress(self, strings, shape):
+    def decompress(self, strings, shape, *, sharding=None):
         assert isinstance(strings, list) and len(strings) == 1
         self._require_tables("y")
         y_hat = eb_ops.decompress(
             strings[0], tuple(shape), self._medians(), self.tables["y"],
-            fmt=self.stream_format,
+            fmt=self.stream_format, sharding=sharding,
         )
         decode = self._jitted(
             "decode", lambda p, v: self.net.apply(p, v, method=FactorizedPriorNet.decode)
@@ -321,12 +321,12 @@ class ScaleHyperprior(CompressionModel):
         )
         return fn(jnp.asarray(z), jnp.asarray(self._medians()))
 
-    def decompress(self, strings, shape):
+    def decompress(self, strings, shape, *, sharding=None):
         assert isinstance(strings, list) and len(strings) == 2
         self._require_tables("y", "z")
         z_hat = eb_ops.decompress(
             strings[1], tuple(shape), self._medians(), self.tables["z"],
-            fmt=self.stream_format,
+            fmt=self.stream_format, sharding=sharding,
         )
         hyper = self._jitted(
             "hyper_decode",
@@ -336,7 +336,7 @@ class ScaleHyperprior(CompressionModel):
         indexes, means = self._indexes_and_means(out)
         y_hat = gc_ops.decompress(
             strings[0], indexes, self.tables["y"], means,
-            fmt=self.stream_format,
+            fmt=self.stream_format, sharding=sharding,
         )
         decode = self._jitted(
             "decode", lambda p, v: self.net.apply(p, v, method=self.net_cls.decode)

@@ -1,3 +1,10 @@
+from .distributed import (
+    add_distributed_args,
+    allgather_records,
+    maybe_initialize,
+    shard_work,
+)
+from .gather import gather_bitstreams, pack_strings, unpack_strings
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -14,4 +21,11 @@ __all__ = [
     "param_shardings",
     "make_sharded_train_step",
     "shard_batch",
+    "gather_bitstreams",
+    "pack_strings",
+    "unpack_strings",
+    "add_distributed_args",
+    "maybe_initialize",
+    "shard_work",
+    "allgather_records",
 ]

@@ -114,21 +114,31 @@ def inference_entropy_estimation(model, x: np.ndarray):
     }
 
 
-def eval_model(model, filepaths, entropy_estimation=False, **kwargs):
+_METRIC_KEYS = ("psnr", "ms-ssim", "bpp", "encoding_time", "decoding_time")
+
+
+def eval_model(model, filepaths, entropy_estimation=False,
+               global_indices=None, total=None, **kwargs):
+    """Per-image inference, averaged over the dataset. In a distributed run
+    ``filepaths`` is this process's shard; per-image records are
+    all-gathered into global order before averaging, so every process
+    returns identical dataset-level metrics."""
     from ...datasets.image import load_image
 
-    metrics = defaultdict(float)
+    rows = []
     for filepath in filepaths:
         x = load_image(filepath)[None]
         if entropy_estimation:
             rv = inference_entropy_estimation(model, x)
         else:
             rv = inference(model, x)
-        for k, v in rv.items():
-            metrics[k] += v
-    for k, v in metrics.items():
-        metrics[k] = v / len(filepaths)
-    return metrics
+        rows.append([float(rv[k]) for k in _METRIC_KEYS])
+    rec = np.asarray(rows, np.float64)
+    if total is not None:
+        from ...parallel.distributed import allgather_records
+
+        rec = allgather_records(rec, global_indices, total)
+    return {k: float(rec[:, i].mean()) for i, k in enumerate(_METRIC_KEYS)}
 
 
 def setup_args():
@@ -150,6 +160,9 @@ def setup_args():
              "--half is fp16 — eval_model/__main__.py:174-176)",
     )
     parent.add_argument("-v", "--verbose", action="store_true")
+    from ...parallel.distributed import add_distributed_args
+
+    add_distributed_args(parent)
 
     parser = argparse.ArgumentParser(
         description="Evaluate a model on an image dataset.", add_help=True
@@ -172,6 +185,12 @@ def setup_args():
 def main(argv):
     args = setup_args().parse_args(argv)
 
+    # join the cluster before any other jax use (backend clients must be
+    # created after jax.distributed.initialize)
+    from ...parallel.distributed import maybe_initialize, shard_work
+
+    pidx, pcount = maybe_initialize(args)
+
     from ...zoo import image_models, model_architectures
     from ...zoo.image import _load_model
 
@@ -179,6 +198,8 @@ def main(argv):
     if len(filepaths) == 0:
         print("Error: no images found in directory.", file=sys.stderr)
         sys.exit(1)
+    n_total = len(filepaths)
+    local_paths, global_indices = shard_work(filepaths, pidx, pcount)
 
     import compressai_environment_tpu
 
@@ -216,7 +237,11 @@ def main(argv):
             # estimation stays fp32.
             if args.half:
                 model.half()
-        metrics = eval_model(model, filepaths, args.entropy_estimation)
+        metrics = eval_model(
+            model, local_paths, args.entropy_estimation,
+            global_indices=global_indices,
+            total=n_total if pcount > 1 else None,
+        )
         for k, v in metrics.items():
             results[k].append(v)
 
@@ -231,7 +256,8 @@ def main(argv):
         "description": f"Inference ({description})",
         "results": results,
     }
-    print(json.dumps(output, indent=2))
+    if pidx == 0:  # all processes hold identical gathered results
+        print(json.dumps(output, indent=2))
 
 
 if __name__ == "__main__":

@@ -87,7 +87,19 @@ def main(argv=None):
     parser.add_argument("--save-path", type=str, default="checkpoint.msgpack")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all local devices")
+    from compressai_environment_tpu.parallel.distributed import (
+        add_distributed_args,
+        maybe_initialize,
+    )
+
+    add_distributed_args(parser)
     args = parser.parse_args(argv)
+
+    # must precede any backend use; with --distributed the mesh spans all
+    # processes (dp over DCN across hosts, tp on ICI within a slice)
+    pidx, pcount = maybe_initialize(args)
+    if pcount > 1:
+        args.data_parallel = True  # multi-process implies the global mesh
 
     import jax
 
@@ -171,9 +183,13 @@ def main(argv=None):
         nsteps = 0
         for i, batch in enumerate(batched(train_ds, args.batch_size, patch, seed + epoch)):
             key, sub = jax.random.split(key)
+            if pcount > 1:
+                # every process generates the identical (seeded) global
+                # batch and feeds its interleaved slice to the global mesh
+                batch = batch[pidx::pcount]
             state, losses = step_fn(state, batch, sub)
             nsteps += 1
-            if i % 10 == 0:
+            if i % 10 == 0 and pidx == 0:
                 print(
                     f"Train epoch {epoch}: [{i*args.batch_size}/{len(train_ds)}] "
                     f"Loss: {float(losses['loss']):.3f} | "
@@ -215,7 +231,7 @@ def main(argv=None):
             f"loss {epoch_loss:.4f}, lr {lr:g}"
         )
 
-        if args.save:
+        if args.save and pidx == 0:
             # full train state every epoch (resume point) + best model export
             save_train_checkpoint(
                 args.save_path + ".train", state, scheduler, epoch=epoch,
