@@ -1,16 +1,21 @@
 """Driver benchmark: end-to-end encode+decode throughput on TPU.
 
 Measures the full bmshj2018-factorized pipeline over a Kodak-sized batch
-(24 x 768x512 RGB), pipelined over sub-batches so stream D2H overlaps the
-next chunk's compute, and prints ONE JSON line:
+(24 x 768x512 RGB, 28.3 MB) with the TRAINED committed checkpoint
+(checkpoints/bmshj2018-factorized-synth-q5.msgpack: ~0.51 bpp / 32.9 dB on
+held-out content from its training family — tools/train_synth.py), pipelined
+over sub-batches so stream D2H overlaps the next chunk's compute, and prints
+ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N,
-     "detail": {..., "phases_ms": {...}}}
+     "detail": {..., "phases_ms": {...}, "zoo": {...}}}
 
-The per-phase breakdown (measured with forced syncs) shows where time goes:
-content H2D upload, g_a, quantize+rANS scan+compaction, stream D2H, host
-pack, stream H2D, decode scan (gather-bound — see docs/performance.md for
-the measured per-symbol gather floor), g_s.
+The per-phase breakdown (measured with forced syncs) shows where time goes
+and separates tunnel-link-bound phases (content upload; >10 GB/s PCIe on a
+production host) from chip-bound ones (``chip_bound_MBps_lower_bound``).
+``zoo`` carries per-architecture enc/dec timings — hyperprior, mbt2018 AR
+wavefront, cheng2020-anchor, ssf2020 video GOP — beside the reference
+numbers from BASELINE.md.
 
 Baseline: the reference CompressAI bmshj2018-factorized CPU pipeline at
 ~0.74 MB/s aggregate enc+dec (BASELINE.md: ~0.7 s encode + ~0.9 s decode per
@@ -18,117 +23,26 @@ Baseline: the reference CompressAI bmshj2018-factorized CPU pipeline at
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_MBPS = 1.18 / 1.6  # reference enc+dec MB/s per image slot
 CHUNK = 6  # images per pipelined sub-batch
+REPO = os.path.dirname(os.path.abspath(__file__))
+CKPT = os.path.join(REPO, "checkpoints", "bmshj2018-factorized-synth-q5.msgpack")
 
 
-def _content(n_images, h, w):
-    rng = np.random.default_rng(0)
-    # smooth, image-like content: random low-frequency fields; uint8 like a
-    # real decoded image buffer (scaled to [0,1] on device)
-    base = rng.random((n_images, h // 16, w // 16, 3), dtype=np.float32)
-    return (
-        np.clip(
-            np.stack([np.kron(b, np.ones((16, 16, 1), np.float32)) for b in base]),
-            0, 1,
-        ) * 255
-    ).round().astype(np.uint8)
+def _content(n_images, h, w, seed=1234):
+    """Held-out images from the trained checkpoint's content family
+    (tools/train_synth.py), uint8 like a real decoded image buffer."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from train_synth import synth_batch
 
-
-def _calibrate_rate(model, x_sample, target_bpp=1.0):
-    """Calibrate the random-init model to a realistic trained-codec operating
-    rate (published Kodak rates are 0.1-1.8 bpp; uncalibrated random init
-    codes at >4 bpp, inflating stream transfer cost out of proportion).
-
-    Two knobs, mirroring where training converges: (1) scale the last
-    analysis conv so the quantized-latent entropy lands near the target —
-    for M latent channels at transform stride 16 there are M/256 symbols
-    per pixel, and a rounded N(0, s) symbol carries ~½·log2(2πe·s²) bits;
-    (2) bake *empirical* per-channel CDFs from the sample latents' symbol
-    histograms (a trained EntropyBottleneck's density converges to exactly
-    this data distribution; a random-init density costs ~3 bpp of
-    cross-entropy mismatch that no scalar sharpness knob can remove). The
-    symbol count — and thus the coding work per image — is
-    shape-determined and unaffected; only the probabilities change."""
-    import numpy as _np
-
-    h, w = x_sample.shape[1:3]
-
-    def measure_bpp():
-        c = model.compress(x_sample)
-        return sum(len(s) for s in c["strings"][0]) * 8 / (
-            x_sample.shape[0] * h * w
-        )
-
-    import jax.numpy as jnp
-
-    from compressai_environment_tpu.entropy.cdf import pmf_to_quantized_cdf
-    from compressai_environment_tpu.entropy_models.base import CdfTables
-
-    M = model.M
-    bits_per_symbol = target_bpp * 256.0 / M
-    # invert H = 0.5*log2(2*pi*e*s^2)  (valid for s >~ 0.5)
-    target_std = max(0.3, float(2.0 ** bits_per_symbol / _np.sqrt(2 * _np.pi * _np.e)))
-    encode = model._jitted(
-        "encode",
-        lambda p, v: model.net.apply(p, v, method=type(model.net).encode),
-    )
-
-    def latents():
-        return _np.asarray(
-            encode({"params": model.params}, model._nhwc(x_sample)), _np.float32
-        )
-
-    def scale_latents(factor):
-        leaf = model.params["g_a"]["6"]
-        leaf["kernel"] = leaf["kernel"] * factor
-        leaf["bias"] = leaf["bias"] * factor
-
-    def bake_empirical():
-        y = latents()
-        med = model._medians()
-        sym = _np.round(y - med.reshape(1, 1, 1, -1)).astype(_np.int64)
-        # widen the observed range by 1 so near-range symbols on unseen
-        # images stay in-band; anything further escapes (raw residual)
-        mins = sym.min(axis=(0, 1, 2)) - 1
-        maxs = sym.max(axis=(0, 1, 2)) + 1
-        lengths = (maxs - mins + 1).astype(_np.int64)
-        max_len = int(lengths.max())
-        cdf = _np.zeros((M, max_len + 2), _np.int32)
-        tail = _np.float32(2.0 ** -15)
-        ent = _np.zeros(M)
-        for c in range(M):
-            hist = _np.bincount(
-                (sym[..., c].ravel() - mins[c]), minlength=lengths[c]
-            ).astype(_np.float64)
-            p = hist / hist.sum()
-            nz = p > 0
-            ent[c] = -(p[nz] * _np.log2(p[nz])).sum()
-            row = pmf_to_quantized_cdf(
-                _np.concatenate([(1.0 - tail) * p, [tail]]).astype(_np.float32)
-            )
-            cdf[c, : len(row)] = row
-        model.tables["y"] = CdfTables(cdf, lengths + 2, mins)
-        return float(ent.mean())
-
-    scale = float(target_std / (latents().std() + 1e-9))
-    scale_latents(scale)
-    mean_bits = bake_empirical()
-    # one correction step: per-channel entropy moves ~1 bit per std doubling
-    correction = float(2.0 ** (bits_per_symbol - mean_bits))
-    correction = min(max(correction, 0.25), 4.0)
-    scale_latents(correction)
-    mean_bits = bake_empirical()
-    return {
-        "latent_scale": round(scale * correction, 4),
-        "target_std": round(target_std, 3),
-        "empirical_bits_per_symbol": round(mean_bits, 3),
-        "calibrated_bpp": round(measure_bpp(), 3),
-    }
+    x = synth_batch(seed, n_images, h, w)
+    return (x * 255).round().astype(np.uint8)
 
 
 def _sync(arr):
@@ -145,8 +59,6 @@ def _pipelined_encode(model, chunks):
 
 def _pipelined_decode(model, outs):
     decs = [model.decompress(o["strings"], o["shape"]) for o in outs]
-    for d in decs:
-        pass  # dispatch only; decoded images stay device-resident
     _sync(decs[-1]["x_hat"])
     import jax
 
@@ -212,8 +124,8 @@ def _phase_breakdown(model, x, chunks):
     phases["g_s"] = round(dt, 1)
     phases["stream_bytes"] = total_bytes
     # chip-bound aggregate: what the same pipeline costs once the dev-tunnel
-    # link phases (content upload, stream D2H/H2D — >10 GB/s on a real host)
-    # are excluded. The decode-scan phase keeps its H2D share here, so this
+    # link phases (content upload — >10 GB/s on a real host) are excluded.
+    # The coder phases keep their stream-transfer + RPC share here, so this
     # is a conservative lower bound on chip throughput.
     chip_ms = phases["g_a"] + phases["quantize_scan_compact_d2h"] + \
         phases["h2d_unpack_decode_scan"] + phases["g_s"]
@@ -221,6 +133,111 @@ def _phase_breakdown(model, x, chunks):
         x.nbytes / 1e6 / (chip_ms / 1e3), 1
     )
     return phases
+
+
+def _timed_roundtrip(compress, decompress, warmups=2):
+    import jax
+
+    for _ in range(warmups):
+        c = compress()
+        d = decompress(c)
+        jax.block_until_ready(d)
+    t0 = time.perf_counter()
+    c = compress()
+    t1 = time.perf_counter()
+    d = decompress(c)
+    jax.block_until_ready(d)
+    t2 = time.perf_counter()
+    return t1 - t0, t2 - t1, c
+
+
+def _bench_zoo(x, h, w):
+    """Per-architecture enc/dec wall time per image, vs BASELINE.md."""
+    import jax
+
+    zoo = {}
+
+    # bmshj2018-hyperprior: two-stage coding (z factorized, y Gaussian)
+    from compressai_environment_tpu.models import ScaleHyperprior
+
+    hp = ScaleHyperprior(128, 192).init(
+        key=jax.random.key(2), input_shape=(1, h, w, 3)
+    )
+    hp.update(force=True)
+    hp.stream_format = "tpu"
+    B = 8
+    xh = x[:B]
+    enc_t, dec_t, c = _timed_roundtrip(
+        lambda: hp.compress(xh),
+        lambda c: hp.decompress(c["strings"], c["shape"])["x_hat"],
+    )
+    zoo["bmshj2018-hyperprior"] = {
+        "batch": B,
+        "encode_s_per_img": round(enc_t / B, 4),
+        "decode_s_per_img": round(dec_t / B, 4),
+        "ref_enc_dec_s": [0.70, 0.91], "ref_hw": "cpu",
+    }
+
+    # mbt2018: AR wavefront, all images on one wavefront
+    from compressai_environment_tpu.models import (
+        JointAutoregressiveHierarchicalPriors,
+    )
+
+    ar = JointAutoregressiveHierarchicalPriors(192, 192).init(
+        key=jax.random.key(1), input_shape=(1, h, w, 3)
+    )
+    ar.update(force=True)
+    ar.stream_format = "tpu"
+    B = 8
+    xa = x[:B]
+    enc_t, dec_t, _ = _timed_roundtrip(
+        lambda: ar.compress(xa),
+        lambda c: ar.decompress(c["strings"], c["shape"])["x_hat"],
+    )
+    zoo["mbt2018"] = {
+        "batch": B,
+        "encode_s_per_img": round(enc_t / B, 4),
+        "decode_s_per_img": round(dec_t / B, 4),
+        "ref_enc_dec_s": [2.7, 5.9], "ref_hw": "cuda",
+    }
+
+    # cheng2020-anchor: residual-block transforms + the same AR machinery
+    from compressai_environment_tpu.models import Cheng2020Anchor
+
+    ch = Cheng2020Anchor(128).init(key=jax.random.key(3), input_shape=(1, h, w, 3))
+    ch.update(force=True)
+    ch.stream_format = "tpu"
+    B = 4
+    xc = x[:B]
+    enc_t, dec_t, _ = _timed_roundtrip(
+        lambda: ch.compress(xc),
+        lambda c: ch.decompress(c["strings"], c["shape"])["x_hat"],
+    )
+    zoo["cheng2020-anchor"] = {
+        "batch": B,
+        "encode_s_per_img": round(enc_t / B, 4),
+        "decode_s_per_img": round(dec_t / B, 4),
+        "ref_enc_dec_s": [2.65, 5.79], "ref_hw": "cuda (attn variant)",
+    }
+
+    # ssf2020: 3-frame GOP (keyframe + 2 inter frames with motion/residual)
+    from compressai_environment_tpu.models.video import ScaleSpaceFlow
+
+    ssf = ScaleSpaceFlow().init(input_shape=(1, h, w, 3))
+    ssf.update(force=True)
+    ssf.stream_format = "tpu"
+    frames = [x[i : i + 1].astype(np.float32) / 255.0 for i in range(3)]
+    enc_t, dec_t, _ = _timed_roundtrip(
+        lambda: ssf.compress(frames),
+        lambda c: ssf.decompress(c[0], c[1])[-1],
+    )
+    zoo["ssf2020"] = {
+        "gop": 3,
+        "encode_s_per_frame": round(enc_t / 3, 4),
+        "decode_s_per_frame": round(dec_t / 3, 4),
+        "ref_hw": "reference: GPU, no published per-frame wall time",
+    }
+    return zoo
 
 
 def main():
@@ -232,21 +249,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from compressai_environment_tpu.models import FactorizedPrior
+    from compressai_environment_tpu.utils.checkpoint import restore_into
 
     n_images, h, w = 24, 512, 768
-    model = FactorizedPrior(128, 192).init(
-        key=jax.random.key(0), input_shape=(1, h, w, 3)
-    )
-    model.update(force=True)
+    model = FactorizedPrior(128, 192)
+    restore_into(model, CKPT)  # trained params + baked tables
     model.stream_format = "tpu"  # interleaved-lane on-chip coder
+    # bf16 transforms (the TPU-native half mode, the supported --half eval
+    # path): MXU convs at double rate; coding stays integer-exact because
+    # encoder and decoder quantize the same latents. Tables stay fp32-baked.
+    model.half()
 
     x = _content(n_images, h, w)
-    rate_scale = _calibrate_rate(model, x[:4])
-    # bf16 transforms (the TPU-native half mode, a supported eval path —
-    # --half in eval_model): MXU convs at double rate; coding stays
-    # integer-exact because encoder and decoder quantize the same latents.
-    # Tables were baked in fp32 above, as half() requires.
-    model.half()
     chunks = [x[i : i + CHUNK] for i in range(0, n_images, CHUNK)]
 
     # warmup (compile at the exact benchmark shapes; twice — the first
@@ -258,67 +272,26 @@ def main():
     t0 = time.perf_counter()
     outs = _pipelined_encode(model, chunks)
     t1 = time.perf_counter()
-    _pipelined_decode(model, outs)
+    decs = _pipelined_decode(model, outs)
     t2 = time.perf_counter()
 
     total_mb = n_images * h * w * 3 / 1e6
     enc_t, dec_t = t1 - t0, t2 - t1
     mbps = total_mb / (enc_t + dec_t)
 
+    # reconstruction quality at the trained operating point (the decoded
+    # images are already on device; one spot-check download)
+    x_hat = np.clip(np.asarray(decs[0]["x_hat"], np.float32), 0, 1)
+    mse = float(np.mean((x_hat - x[:CHUNK].astype(np.float32) / 255.0) ** 2))
+    psnr = round(10 * np.log10(1.0 / max(mse, 1e-12)), 2)
+
     phases = _phase_breakdown(model, x, chunks)
-
-    # autoregressive model (mbt2018) wavefront timings
-    from compressai_environment_tpu.models import (
-        JointAutoregressiveHierarchicalPriors,
-    )
-
-    ar = JointAutoregressiveHierarchicalPriors(192, 192).init(
-        key=jax.random.key(1), input_shape=(1, h, w, 3)
-    )
-    ar.update(force=True)
-    ar.stream_format = "tpu"
-    AR_B = 8  # all images ride the same wavefront in one program
-    xa = x[:AR_B]
-    for _ in range(2):
-        ca = ar.compress(xa)
-        da = ar.decompress(ca["strings"], ca["shape"])
-        jax.block_until_ready(da["x_hat"])
-    t0 = time.perf_counter()
-    ca = ar.compress(xa)
-    t1 = time.perf_counter()
-    da = ar.decompress(ca["strings"], ca["shape"])
-    jax.block_until_ready(da["x_hat"])
-    t2 = time.perf_counter()
-    ar_enc, ar_dec = (t1 - t0) / AR_B, (t2 - t1) / AR_B
-
-    # two-stage hyperprior (bmshj2018-hyperprior): z coded by the factorized
-    # bottleneck, y by the Gaussian conditional with decoder-side scales
-    # (BASELINE.md row: ~0.70 s enc / ~0.91 s dec per image on CPU)
-    from compressai_environment_tpu.models import ScaleHyperprior
-
-    hp = ScaleHyperprior(128, 192).init(
-        key=jax.random.key(2), input_shape=(1, h, w, 3)
-    )
-    hp.update(force=True)
-    hp.stream_format = "tpu"
-    HP_B = 8
-    xh = x[:HP_B]
-    for _ in range(2):
-        ch = hp.compress(xh)
-        dh = hp.decompress(ch["strings"], ch["shape"])
-        jax.block_until_ready(dh["x_hat"])
-    t0 = time.perf_counter()
-    ch = hp.compress(xh)
-    t1 = time.perf_counter()
-    dh = hp.decompress(ch["strings"], ch["shape"])
-    jax.block_until_ready(dh["x_hat"])
-    t2 = time.perf_counter()
-    hp_enc, hp_dec = (t1 - t0) / HP_B, (t2 - t1) / HP_B
+    zoo = _bench_zoo(x, h, w)
 
     print(
         json.dumps(
             {
-                "metric": "bmshj2018-factorized enc+dec throughput (Kodak-size x24, 1 chip, pipelined)",
+                "metric": "bmshj2018-factorized enc+dec throughput (Kodak-size x24, 1 chip, pipelined, trained ckpt)",
                 "value": round(mbps, 3),
                 "unit": "MB/s",
                 "vs_baseline": round(mbps / BASELINE_MBPS, 2),
@@ -326,6 +299,7 @@ def main():
                     "encode_s": round(enc_t, 3),
                     "decode_s": round(dec_t, 3),
                     "total_MB": round(total_mb, 2),
+                    "checkpoint": os.path.basename(CKPT),
                     "mean_bpp": round(
                         sum(
                             len(s)
@@ -333,16 +307,10 @@ def main():
                             for s in o["strings"][0]
                         ) * 8 / (n_images * h * w), 4
                     ),
+                    "psnr_db": psnr,
                     "phases_ms": phases,
-                    "rate_calibration": rate_scale,
                     "transforms_dtype": "bfloat16",
-                    "hyperprior_encode_s_per_img": round(hp_enc, 3),
-                    "hyperprior_decode_s_per_img": round(hp_dec, 3),
-                    "hyperprior_ref_cpu_enc_dec_s": [0.70, 0.91],
-                    "mbt2018_ar_batch": AR_B,
-                    "mbt2018_ar_encode_s_per_img": round(ar_enc, 3),
-                    "mbt2018_ar_decode_s_per_img": round(ar_dec, 3),
-                    "mbt2018_ref_cuda_enc_dec_s": [2.7, 5.9],
+                    "zoo": zoo,
                 },
             }
         )

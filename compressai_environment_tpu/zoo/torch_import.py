@@ -28,7 +28,13 @@ import numpy as np
 
 from ..entropy_models import CdfTables
 
-__all__ = ["rename_key", "load_pretrained", "state_dict_to_params", "load_state_dict"]
+__all__ = [
+    "rename_key",
+    "load_pretrained",
+    "state_dict_to_params",
+    "params_to_state_dict",
+    "load_state_dict",
+]
 
 _BUFFER_LEAVES = ("_quantized_cdf", "_offset", "_cdf_length", "scale_table", "target")
 
@@ -146,6 +152,56 @@ def state_dict_to_params(state_dict: Mapping[str, Any], template) -> Dict[str, A
     if unused:
         raise ValueError(f"Unexpected state-dict keys: {unused[:10]}")
     return params
+
+
+def params_to_state_dict(params, template_sd, tables=None) -> Dict[str, Any]:
+    """Inverse of :func:`state_dict_to_params`: export a flax params tree
+    (+ optional baked ``CdfTables``) into a torch state dict shaped like
+    ``template_sd`` (a reference module's ``state_dict()``; its constant
+    buffers — pedestals, bounds, targets — are kept as-is).
+
+    Used to run OUR trained checkpoints through the reference
+    implementation for cross-ecosystem metric/bitstream equality checks.
+    """
+    import torch
+
+    sd = {k: v.clone() if hasattr(v, "clone") else v
+          for k, v in template_sd.items()}
+
+    for path, leaf in _tree_paths(params):
+        arr = np.asarray(leaf, np.float32)
+        name = path[-1]
+        if name == "kernel":  # HWIO -> OIHW
+            key = ".".join(path[:-1] + ("weight",))
+            val = np.transpose(arr, (3, 2, 0, 1))
+        elif name == "kernel_t":  # HWIO(flipped IOHW) -> IOHW
+            key = ".".join(path[:-1] + ("weight",))
+            val = np.ascontiguousarray(
+                np.transpose(arr, (2, 3, 0, 1))[:, :, ::-1, ::-1]
+            )
+        else:
+            key = ".".join(path)
+            val = arr
+        if key not in sd:
+            raise KeyError(f"exported param {key} not in reference state dict")
+        if tuple(sd[key].shape) != val.shape:
+            raise ValueError(
+                f"{key}: exported shape {val.shape} != reference {tuple(sd[key].shape)}"
+            )
+        sd[key] = torch.from_numpy(np.ascontiguousarray(val))
+
+    if tables is not None:
+        for prefix, t in tables.items():
+            sd[f"{prefix}._quantized_cdf"] = torch.from_numpy(
+                np.asarray(t.quantized_cdf, np.int32)
+            )
+            sd[f"{prefix}._cdf_length"] = torch.from_numpy(
+                np.asarray(t.cdf_length, np.int32).reshape(-1)
+            )
+            sd[f"{prefix}._offset"] = torch.from_numpy(
+                np.asarray(t.offset, np.int32).reshape(-1)
+            )
+    return sd
 
 
 def _extract_tables(state_dict, prefix: str) -> CdfTables | None:
