@@ -67,7 +67,7 @@ def _pipelined_decode(model, outs):
     return decs
 
 
-def _phase_breakdown(model, x, chunks):
+def _phase_breakdown(model, x):
     """Measured per-phase timings (ms) with forced syncs; explains the
     pipelined number and names the next optimization target."""
     import jax
@@ -261,16 +261,24 @@ def main():
     model.half()
 
     x = _content(n_images, h, w)
-    chunks = [x[i : i + CHUNK] for i in range(0, n_images, CHUNK)]
+
+    def upload_chunks():
+        # one bulk H2D RPC for the whole batch (device-side sub-batch
+        # slicing) — cheaper than per-chunk uploads over the tunnel; the
+        # upload stays inside the timed encode span
+        import jax.numpy as jnp
+
+        x_dev = jnp.asarray(x)
+        return [x_dev[i : i + CHUNK] for i in range(0, n_images, CHUNK)]
 
     # warmup (compile at the exact benchmark shapes; twice — the first
     # post-compile iteration still pays tunnel-side executable caching)
     for _ in range(2):
-        outs = _pipelined_encode(model, chunks)
+        outs = _pipelined_encode(model, upload_chunks())
         _pipelined_decode(model, outs)
 
     t0 = time.perf_counter()
-    outs = _pipelined_encode(model, chunks)
+    outs = _pipelined_encode(model, upload_chunks())
     t1 = time.perf_counter()
     decs = _pipelined_decode(model, outs)
     t2 = time.perf_counter()
@@ -285,7 +293,7 @@ def main():
     mse = float(np.mean((x_hat - x[:CHUNK].astype(np.float32) / 255.0) ** 2))
     psnr = round(10 * np.log10(1.0 / max(mse, 1e-12)), 2)
 
-    phases = _phase_breakdown(model, x, chunks)
+    phases = _phase_breakdown(model, x)
     zoo = _bench_zoo(x, h, w)
 
     print(

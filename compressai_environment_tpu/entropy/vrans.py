@@ -439,10 +439,11 @@ def build_packed_tables(quantized_cdf, cdf_length, offset, lut=None):
 # ---------------------------------------------------------------------------
 
 # compact one-hot decode is used when the table stride is at most this; the
-# per-step (lanes, stride) compare work grows linearly with stride, so wide
-# tables (the 64-row Gaussian scale table has stride ~3100) stay on the
-# packed sf-gather path
-ONEHOT_MAX_STRIDE = 96
+# per-step (lanes, stride) matmul/compare work grows linearly with stride
+# but rides the MXU — measured on v5e, stride 196 (trained EB tables)
+# decodes within ~1.2x of stride 20 (empirical tables), while the 64-row
+# Gaussian scale table (stride ~3100) stays on the packed sf-gather path
+ONEHOT_MAX_STRIDE = 256
 
 
 def build_compact_tables(quantized_cdf, cdf_length, offset):

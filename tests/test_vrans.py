@@ -189,7 +189,7 @@ class TestCompactOneHotPath:
         assert "lut" not in b and "sf" not in b
         assert b["total"] < 8 * (1 << 16)  # far below one LUT row
 
-        wide = np.zeros((4, 200), np.int32)
+        wide = np.zeros((4, 300), np.int32)
         wide[:, :3] = [0, 30000, 65536]
         assert build_compact_tables(wide, np.full(4, 3), np.zeros(4)) is None
 
@@ -239,7 +239,7 @@ class TestLowMemoryMode:
             encode_batch_device,
         )
 
-        cdfs, sizes, offsets = _table(rng, ncdfs=8, max_support=150)
+        cdfs, sizes, offsets = _table(rng, ncdfs=8, max_support=300)
         B, n = 2, 2000
         indexes = rng.integers(0, 8, size=(B, n)).astype(np.int32)
         symbols = rng.integers(-60, 60, size=(B, n)).astype(np.int32)
