@@ -1,0 +1,127 @@
+"""Generate the repo's results/ directory: a reproducible RD sweep.
+
+The reference ships ``results/{kodak,clic2020-*,video}`` JSONs consumed by
+its plot tools. With no network (no Kodak download, no pretrained zoo),
+this repo's equivalent is a seeded synthetic dataset (the trained
+checkpoints' held-out content family, seed 777) evaluated with:
+
+* the in-repo trained bmshj2018-factorized checkpoints (one JSON per
+  entropy coder backend, reference result schema), and
+* classical anchors that run from Pillow alone (JPEG, WebP).
+
+Everything is deterministic; re-running reproduces the JSONs. The plot
+CLIs consume them directly:
+
+    python tools/make_results.py
+    python -m compressai_environment_tpu.utils.plot \
+        -f results/synthetic-kodak/*.json -m psnr --output rd.png
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+DATASET_SEED = 777
+N_IMAGES = 12
+
+
+def make_dataset(root: Path) -> Path:
+    from PIL import Image
+    import numpy as np
+
+    from train_synth import synth_batch
+
+    root.mkdir(parents=True, exist_ok=True)
+    pngs = sorted(root.glob("*.png"))
+    if len(pngs) == N_IMAGES:
+        return root
+    x = synth_batch(DATASET_SEED, N_IMAGES, 512, 768)
+    for i, img in enumerate(x):
+        Image.fromarray((img * 255).round().astype(np.uint8)).save(
+            root / f"synth{i:02d}.png"
+        )
+    return root
+
+
+def eval_learned(dataset: Path, ckpts, coder: str) -> dict:
+    import compressai_environment_tpu as cai
+    from compressai_environment_tpu.models import FactorizedPrior
+    from compressai_environment_tpu.utils.checkpoint import restore_into
+    from compressai_environment_tpu.utils.eval_model.__main__ import (
+        collect_images,
+        eval_model,
+    )
+
+    filepaths = collect_images(str(dataset))
+    results = {}
+    for ckpt in ckpts:
+        model = FactorizedPrior(128, 192)
+        restore_into(model, ckpt)
+        model.stream_format = cai.coder_stream_formats[coder]
+        metrics = eval_model(model, filepaths)
+        for k, v in metrics.items():
+            results.setdefault(k, []).append(v)
+    return {
+        "name": "bmshj2018-factorized (synthetic-trained)",
+        "description": f"Inference ({coder})",
+        "results": results,
+    }
+
+
+def bench_classical(dataset: Path, codec: str, qualities) -> dict:
+    from compressai_environment_tpu.utils.bench.__main__ import collect
+    from compressai_environment_tpu.utils.bench.codecs import JPEG, WebP
+
+    cls = {"jpeg": JPEG, "webp": WebP}[codec]
+    args = argparse.Namespace()
+    inst = cls(args)
+    out = collect(inst, str(dataset), qualities)
+    return {"name": codec, "description": codec, "results": dict(out)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=str(REPO / "results" / "synthetic-kodak"))
+    p.add_argument(
+        "--dataset", default=None,
+        help="dataset dir (default: generated under a temp cache)",
+    )
+    args = p.parse_args(argv)
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    ds = Path(args.dataset) if args.dataset else (
+        Path(tempfile.gettempdir()) / "synthetic_kodak_777"
+    )
+    make_dataset(ds)
+    print(f"dataset: {ds} ({N_IMAGES} x 768x512)")
+
+    ckpts = sorted((REPO / "checkpoints").glob("bmshj2018-factorized-synth-q*.msgpack"))
+    if not ckpts:
+        raise SystemExit("no trained checkpoints under checkpoints/")
+    print(f"checkpoints: {[c.name for c in ckpts]}")
+
+    for coder in ("ans", "tpu"):
+        r = eval_learned(ds, ckpts, coder)
+        fname = out / f"compressai-environment-tpu-bmshj2018-factorized_mse_{coder}.json"
+        fname.write_text(json.dumps(r, indent=2))
+        print(f"wrote {fname}")
+        print("  bpp:", [round(v, 4) for v in r["results"]["bpp"]])
+        print("  psnr:", [round(v, 2) for v in r["results"]["psnr"]])
+
+    for codec, qualities in (("jpeg", [10, 25, 50, 75, 92]),
+                             ("webp", [5, 25, 50, 75, 95])):
+        r = bench_classical(ds, codec, qualities)
+        fname = out / f"{codec}.json"
+        fname.write_text(json.dumps(r, indent=2))
+        print(f"wrote {fname}")
+
+
+if __name__ == "__main__":
+    main()
