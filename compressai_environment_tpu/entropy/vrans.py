@@ -132,20 +132,43 @@ def _encode_scan_packed(starts, freqs, T: int, w_cap: int):
     counts (L,) int32 including the 2 state words, overflow flag). Downloading
     the packed buffer costs ~bits/16 words per symbol instead of the dense
     (T, L) emission matrix.
+
+    Compaction is a per-lane SORT along T, not a scatter: XLA's TPU scatter
+    is latency-serialized like gathers (~12.5 ns/element), measured 44.8 ms
+    for a 24-image Kodak-size batch, while the bitonic sort network is fully
+    vectorized and runs the same compaction in 2.2 ms
+    (tools/sort_compact_exp.py S0/S1). Valid emissions get key = t, invalid
+    key = T + t, so an ascending sort puts the valid words first in t order;
+    when 2T fits in 16 bits the key and the 16-bit word share one uint32
+    (single-operand sort), otherwise a two-operand (key, word) sort is used.
     """
     lanes = starts.shape[1]
     words, valid, state = _encode_scan(starts, freqs, T)
 
-    pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
-    rows_idx = jnp.where(valid, pos + 2, w_cap)  # invalid -> dumped row
-    lane_iota = jnp.broadcast_to(jnp.arange(lanes)[None, :], rows_idx.shape)
-    packed = jnp.zeros((w_cap + 1, lanes), jnp.uint32)
-    packed = packed.at[rows_idx, lane_iota].set(words, mode="drop")
-    packed = packed.at[0].set(state & _MASK16)
-    packed = packed.at[1].set(state >> np.uint32(16))
+    t_iota = jnp.arange(T, dtype=jnp.uint32)[:, None]
+    if 2 * T < (1 << 16):
+        key = jnp.where(valid, t_iota, t_iota + np.uint32(T))
+        fused = (key << np.uint32(16)) | jnp.where(valid, words, 0)
+        body = jax.lax.sort(fused, dimension=0) & _MASK16
+    else:
+        key = jnp.broadcast_to(
+            jnp.where(valid, t_iota, t_iota + np.uint32(T)), words.shape
+        ).astype(jnp.int32)
+        _, body = jax.lax.sort(
+            (key, jnp.where(valid, words, 0)), dimension=0, num_keys=1
+        )
+    if w_cap - 2 <= T:
+        body = body[: w_cap - 2]
+    else:
+        body = jnp.concatenate(
+            [body, jnp.zeros((w_cap - 2 - T, lanes), jnp.uint32)]
+        )
+    packed = jnp.concatenate(
+        [(state & _MASK16)[None], (state >> np.uint32(16))[None], body]
+    )
     counts = valid.sum(axis=0).astype(jnp.int32) + 2
     overflow = jnp.any(counts > w_cap)
-    return packed[:w_cap], counts, overflow
+    return packed, counts, overflow
 
 
 @partial(jax.jit, static_argnames=("T",))
@@ -513,20 +536,40 @@ def _shift_refill(x, buf, need):
 
 
 def _expand_stream(flat, counts, max_w: int):
-    """Per-lane (x0, word-queue) from the flat uploaded word stream."""
+    """Per-lane (x0, word-queue) from the flat uploaded word stream.
+
+    Gather-free: slot (j, lane) with j in [0, max_w + 2) draws from flat
+    position bounds[lane] + j when j < counts[lane]. Sorting slot ids by
+    that source key aligns them with the flat stream order; sorting the
+    (slot, word) pairs back by slot id yields the dense word matrix without
+    a computed gather (measured 29.3 -> 25.9 ms on a 24-image batch,
+    tools/sort_compact_exp.py X0/X1). Requires flat's tail beyond the real
+    words to be zero (callers zero-pad the upload buffer)."""
     cap = flat.shape[0]
+    L = counts.shape[0]
+    n_slots = (max_w + 2) * L
     flat32 = flat.astype(jnp.uint32)
+
     bounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
     )
-    x0 = flat32[jnp.minimum(bounds, cap - 1)] | (
-        flat32[jnp.minimum(bounds + 1, cap - 1)] << np.uint32(16)
-    )
-    j = jnp.arange(max_w)[:, None]
-    src = bounds[None, :] + 2 + j
-    valid = j < (counts - 2)[None, :]
-    buf = jnp.where(valid, flat32[jnp.minimum(src, cap - 1)], jnp.uint32(0))
-    return x0, buf
+    j = jnp.arange(max_w + 2, dtype=jnp.int32)[:, None]
+    valid = j < counts[None, :]
+    src = jnp.where(valid, bounds[None, :] + j, cap).reshape(-1)
+    slot = jnp.arange(n_slots, dtype=jnp.int32)
+    _, slot_by_src = jax.lax.sort((src, slot), dimension=0, num_keys=1)
+
+    if n_slots > cap:
+        flat_pad = jnp.concatenate(
+            [flat32, jnp.zeros((n_slots - cap,), jnp.uint32)]
+        )
+    else:
+        flat_pad = flat32[:n_slots]
+    _, words = jax.lax.sort((slot_by_src, flat_pad), dimension=0, num_keys=1)
+    words = jnp.where(valid, words.reshape(max_w + 2, L), jnp.uint32(0))
+
+    x0 = words[0] | (words[1] << np.uint32(16))
+    return x0, words[2:]
 
 
 @partial(jax.jit, static_argnames=("T",))
@@ -666,15 +709,25 @@ def _encode_device_core_onehot(symbols, indexes, enc_hi, enc_lo,
 
 @partial(jax.jit, static_argnames=("raw_cap",))
 def _raw_compact(esc, raw, raw_cap: int):
-    """Compact the dense escape channel to (B, raw_cap) in symbol order."""
-    B = esc.shape[0]
-    pos = jnp.cumsum(esc, axis=1) - 1
-    rows = jnp.broadcast_to(jnp.arange(B)[:, None], esc.shape)
-    raw_buf = jnp.zeros((B, raw_cap + 1), jnp.uint32)
-    raw_buf = raw_buf.at[
-        rows, jnp.where(esc, jnp.minimum(pos, raw_cap), raw_cap)
-    ].set(jnp.where(esc, raw, 0), mode="drop")
-    return raw_buf[:, :raw_cap]
+    """Compact the dense escape channel to (B, raw_cap) in symbol order.
+
+    Sort-based for the same reason as `_encode_scan_packed` (scatter is
+    latency-serialized; measured 57.8 -> 37.9 ms on a 24-image batch,
+    tools/sort_compact_exp.py R0/R1)."""
+    B, n = esc.shape
+    pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+    key = jnp.broadcast_to(jnp.where(esc, pos, pos + n), raw.shape)
+    _, sorted_raw = jax.lax.sort(
+        (key, jnp.where(esc, raw, 0)), dimension=1, num_keys=1
+    )
+    if raw_cap <= n:
+        out = sorted_raw[:, :raw_cap]
+    else:
+        out = jnp.concatenate(
+            [sorted_raw, jnp.zeros((B, raw_cap - n), raw.dtype)], axis=1
+        )
+    valid = jnp.arange(raw_cap)[None, :] < jnp.sum(esc, axis=1)[:, None]
+    return jnp.where(valid, out, 0)
 
 
 @partial(jax.jit, static_argnames=("cap_w",))
