@@ -46,6 +46,19 @@ class TestInterleavedRoundTrip:
         out = decode_interleaved(blob, indexes, cdfs, sizes, offsets)
         np.testing.assert_array_equal(out, symbols)
 
+    def test_roundtrip_long_lane_schedule(self, rng):
+        # T = n / lanes >= 2^15: the fused (key<<16 | word) sort compaction
+        # key would overflow 16 bits, so _encode_scan_packed must take the
+        # two-operand sort branch. Exercised with 2 lanes x 2*66000 symbols.
+        cdfs, sizes, offsets = _table(rng, ncdfs=4)
+        n = 132000
+        indexes = rng.integers(0, 4, size=n).astype(np.int32)
+        max_vals = sizes[indexes] - 2
+        symbols = (rng.random(n) * max_vals).astype(np.int32) + offsets[indexes]
+        blob = encode_interleaved(symbols, indexes, cdfs, sizes, offsets, lanes=2)
+        out = decode_interleaved(blob, indexes, cdfs, sizes, offsets)
+        np.testing.assert_array_equal(out, symbols)
+
     def test_deterministic(self, rng):
         cdfs, sizes, offsets = _table(rng)
         indexes = rng.integers(0, 8, size=777).astype(np.int32)
