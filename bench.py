@@ -252,6 +252,56 @@ def _bench_zoo(x, h, w):
     return zoo
 
 
+def _bench_train():
+    """Training-step throughput: bmshj2018-factorized, batch 16 of 256x256
+    patches — the reference recipe's shape (docs/source/zoo.rst:42-46:
+    batch 16/32, lr 1e-4, 1-2M steps, "1-2 weeks" on GPU). Measures the
+    two-chain step (RD backward + main update, aux backward + aux update)
+    steady-state with the batch resident on device: chip-side training
+    throughput, not the data-pipeline link."""
+    import jax
+
+    from compressai_environment_tpu.models import FactorizedPrior
+    from compressai_environment_tpu.training import (
+        init_train_state,
+        rate_distortion_loss,
+        train_step,
+    )
+
+    model = FactorizedPrior(128, 192).init(
+        key=jax.random.key(0), input_shape=(1, 256, 256, 3)
+    )
+    state, txs = init_train_state(model.params)
+    step = jax.jit(
+        lambda s, b, k: train_step(
+            model.net, s, txs, b, k, 1e-2, rate_distortion_loss
+        )
+    )
+    B = 16
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    batch = jnp.asarray(rng.random((B, 256, 256, 3), np.float32))
+    key = jax.random.key(1)
+    state, _ = step(state, batch, key)
+    jax.block_until_ready(state.params)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = step(state, batch, key)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    ref_steps_per_s = 2e6 / (14 * 86400)  # 2M steps / 2 weeks, upper bound
+    return {
+        "batch": B,
+        "patch": 256,
+        "steps_per_s": round(iters / dt, 2),
+        "img_per_s": round(iters * B / dt, 1),
+        "ref_recipe_steps_per_s": round(ref_steps_per_s, 2),
+        "ref_recipe": "batch 16/32, 1-2M steps, 1-2 weeks on GPU (zoo.rst)",
+    }
+
+
 def main():
     import jax
 
@@ -312,6 +362,7 @@ def main():
 
     phases = _phase_breakdown(model, x)
     zoo = _bench_zoo(x, h, w)
+    train = _bench_train()
 
     print(
         json.dumps(
@@ -337,6 +388,7 @@ def main():
                     "phases_ms": phases,
                     "transforms_dtype": "bfloat16",
                     "zoo": zoo,
+                    "train": train,
                 },
             }
         )
