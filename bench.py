@@ -5,18 +5,26 @@ Measures the full bmshj2018-factorized pipeline over a Kodak-sized batch
 (checkpoints/bmshj2018-factorized-synth-q5.msgpack: ~0.51 bpp / 32.9 dB on
 held-out content from its training family — tools/train_synth.py). Encode is
 pipelined over sub-batches (chunk i+1's upload+compute under chunk i's stream
-D2H); decode is a single batched dispatch (tools/pipeline_exp.py). Prints
-ONE JSON line:
+D2H); decode is a single batched dispatch (tools/pipeline_exp.py).
+
+Output contract (driver-safe): the flagship headline JSON line is printed
+and flushed THE MOMENT it exists — before any secondary section runs — so a
+timeout or failure in a later section can never lose the headline. Each
+secondary section (phase breakdown, zoo, train) is exception-isolated and
+gated on a global deadline (BENCH_BUDGET_S, default 1100 s); after the
+sections, the same headline enriched with their results is re-emitted as the
+FINAL line. Both lines are complete, valid result JSONs:
 
     {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N,
-     "detail": {..., "phases_ms": {...}, "zoo": {...}}}
+     "detail": {..., "phases_ms": {...}, "zoo": {...}, "train": {...}}}
 
 The per-phase breakdown (measured with forced syncs) shows where time goes
 and separates tunnel-link-bound phases (content upload; >10 GB/s PCIe on a
-production host) from chip-bound ones (``chip_bound_MBps_lower_bound``).
-``zoo`` carries per-architecture enc/dec timings — hyperprior, mbt2018 AR
-wavefront, cheng2020-anchor, ssf2020 video GOP — beside the reference
-numbers from BASELINE.md.
+production host) from chip-bound ones (``chip_bound_MBps_lower_bound``),
+with achieved GFLOP/s and %-of-peak (MFU) per transform phase. ``zoo``
+carries per-architecture enc/dec timings — hyperprior, mbt2018 AR wavefront,
+cheng2020-anchor, ssf2020 video GOP — beside the reference numbers from
+BASELINE.md.
 
 Baseline: the reference CompressAI bmshj2018-factorized CPU pipeline at
 ~0.74 MB/s aggregate enc+dec (BASELINE.md: ~0.7 s encode + ~0.9 s decode per
@@ -34,6 +42,32 @@ BASELINE_MBPS = 1.18 / 1.6  # reference enc+dec MB/s per image slot
 CHUNK = 12  # images per pipelined sub-batch (tools/overlap_exp.py O2 sweep)
 REPO = os.path.dirname(os.path.abspath(__file__))
 CKPT = os.path.join(REPO, "checkpoints", "bmshj2018-factorized-synth-q5.msgpack")
+
+# Global deadline: secondary sections are skipped once exceeded so the
+# process always reaches the final re-emit well inside the driver budget.
+_DEADLINE = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", "1100"))
+
+
+def _remaining() -> float:
+    return _DEADLINE - time.monotonic()
+
+
+def _section(result, key, fn, min_budget_s):
+    """Run one secondary section; failures/timeouts degrade to a note
+    instead of killing the run (VERDICT r3 weak #1/#7)."""
+    if _remaining() < min_budget_s:
+        result["detail"][key] = {
+            "skipped": f"deadline ({_remaining():.0f}s left < {min_budget_s}s)"
+        }
+        return
+    try:
+        t0 = time.monotonic()
+        result["detail"][key] = fn()
+        result["detail"].setdefault("section_s", {})[key] = round(
+            time.monotonic() - t0, 1
+        )
+    except Exception as e:  # noqa: BLE001 — never lose the headline
+        result["detail"][key] = {"error": f"{type(e).__name__}: {e}"}
 
 
 def _content(n_images, h, w, seed=1234):
@@ -81,7 +115,9 @@ def _batched_decode(model, outs):
 
 def _phase_breakdown(model, x):
     """Measured per-phase timings (ms) with forced syncs; explains the
-    pipelined number and names the next optimization target."""
+    pipelined number and names the next optimization target. Transform
+    phases also report achieved GFLOP/s and %-of-bf16-peak (MFU) from
+    XLA's cost analysis."""
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +134,15 @@ def _phase_breakdown(model, x):
             ts.append(time.perf_counter() - t0)
         return min(ts) * 1e3, r
 
+    def flops_of(jitted, *args):
+        try:
+            cost = jitted.lower(*args).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0))
+        except Exception:  # noqa: BLE001 — cost analysis is best-effort
+            return 0.0
+
     dt, x_dev = best(lambda: jax.block_until_ready(jnp.asarray(x)))
     phases["h2d_content_upload"] = round(dt, 1)
 
@@ -108,6 +153,7 @@ def _phase_breakdown(model, x):
     )
     dt, y_dev = best(lambda: jax.block_until_ready(enc({"params": model.params}, x_dev)))
     phases["g_a"] = round(dt, 1)
+    ga_flops = flops_of(enc, {"params": model.params}, x_dev)
 
     def enc_core():
         h = eb_ops.compress_async(y_dev, model._medians(), model.tables["y"])
@@ -128,13 +174,29 @@ def _phase_breakdown(model, x):
     phases["h2d_unpack_decode_scan"] = round(dt, 1)
 
     dec = jax.jit(lambda p, v: net.apply(p, v, method=cls.decode))
+    y_back_dev = jnp.asarray(y_back, cdt)
     dt, _ = best(
-        lambda: jax.block_until_ready(
-            dec({"params": model.params}, jnp.asarray(y_back, cdt))
-        )
+        lambda: jax.block_until_ready(dec({"params": model.params}, y_back_dev))
     )
     phases["g_s"] = round(dt, 1)
+    gs_flops = flops_of(dec, {"params": model.params}, y_back_dev)
     phases["stream_bytes"] = total_bytes
+
+    # achieved TFLOP/s and MFU for the transform phases (v5e bf16 peak
+    # ~197 TFLOP/s; v5p ~459). XLA cost_analysis counts MACs as 2 flops.
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+    mfu = {}
+    for name, fl, ms in (("g_a", ga_flops, phases["g_a"]),
+                         ("g_s", gs_flops, phases["g_s"])):
+        if fl and ms:
+            tfs = fl / (ms / 1e3) / 1e12
+            mfu[name] = {
+                "gflops": round(fl / 1e9, 1),
+                "achieved_tflops": round(tfs, 2),
+                "mfu_pct": round(100 * tfs / peak_tflops, 1),
+            }
+    phases["transform_mfu"] = mfu
+
     # chip-bound aggregate: what the same pipeline costs once the dev-tunnel
     # link phases (content upload — >10 GB/s on a real host) are excluded.
     # The coder phases keep their stream-transfer + RPC share here, so this
@@ -163,19 +225,22 @@ def _timed_roundtrip(compress, decompress, warmups=2):
     return t1 - t0, t2 - t1, c
 
 
-def _bench_zoo(x, h, w):
-    """Per-architecture enc/dec wall time per image, vs BASELINE.md."""
+def _zoo_hyperprior(x, h, w):
     import jax
 
-    zoo = {}
-
-    # bmshj2018-hyperprior: two-stage coding (z factorized, y Gaussian)
     from compressai_environment_tpu.models import ScaleHyperprior
 
-    hp = ScaleHyperprior(128, 192).init(
-        key=jax.random.key(2), input_shape=(1, h, w, 3)
-    )
-    hp.update(force=True)
+    hp = ScaleHyperprior(128, 192)
+    ck = os.path.join(REPO, "checkpoints", "bmshj2018-hyperprior-synth-q5.msgpack")
+    if os.path.exists(ck):
+        from compressai_environment_tpu.utils.checkpoint import restore_into
+
+        restore_into(hp, ck)
+        ckname = os.path.basename(ck)
+    else:
+        hp = hp.init(key=jax.random.key(2), input_shape=(1, h, w, 3))
+        hp.update(force=True)
+        ckname = "random-init"
     hp.stream_format = "tpu"
     B = 8
     xh = x[:B]
@@ -183,14 +248,18 @@ def _bench_zoo(x, h, w):
         lambda: hp.compress(xh),
         lambda c: hp.decompress(c["strings"], c["shape"])["x_hat"],
     )
-    zoo["bmshj2018-hyperprior"] = {
-        "batch": B,
+    bpp = sum(len(s) for ss in c["strings"] for s in ss) * 8 / (B * h * w)
+    return {
+        "batch": B, "checkpoint": ckname, "bpp": round(bpp, 4),
         "encode_s_per_img": round(enc_t / B, 4),
         "decode_s_per_img": round(dec_t / B, 4),
         "ref_enc_dec_s": [0.70, 0.91], "ref_hw": "cpu",
     }
 
-    # mbt2018: AR wavefront, all images on one wavefront
+
+def _zoo_mbt2018(x, h, w):
+    import jax
+
     from compressai_environment_tpu.models import (
         JointAutoregressiveHierarchicalPriors,
     )
@@ -206,14 +275,17 @@ def _bench_zoo(x, h, w):
         lambda: ar.compress(xa),
         lambda c: ar.decompress(c["strings"], c["shape"])["x_hat"],
     )
-    zoo["mbt2018"] = {
-        "batch": B,
+    return {
+        "batch": B, "checkpoint": "random-init",
         "encode_s_per_img": round(enc_t / B, 4),
         "decode_s_per_img": round(dec_t / B, 4),
         "ref_enc_dec_s": [2.7, 5.9], "ref_hw": "cuda",
     }
 
-    # cheng2020-anchor: residual-block transforms + the same AR machinery
+
+def _zoo_cheng2020(x, h, w):
+    import jax
+
     from compressai_environment_tpu.models import Cheng2020Anchor
 
     ch = Cheng2020Anchor(128).init(key=jax.random.key(3), input_shape=(1, h, w, 3))
@@ -225,30 +297,62 @@ def _bench_zoo(x, h, w):
         lambda: ch.compress(xc),
         lambda c: ch.decompress(c["strings"], c["shape"])["x_hat"],
     )
-    zoo["cheng2020-anchor"] = {
-        "batch": B,
+    return {
+        "batch": B, "checkpoint": "random-init",
         "encode_s_per_img": round(enc_t / B, 4),
         "decode_s_per_img": round(dec_t / B, 4),
         "ref_enc_dec_s": [2.65, 5.79], "ref_hw": "cuda (attn variant)",
     }
 
-    # ssf2020: 3-frame GOP (keyframe + 2 inter frames with motion/residual)
+
+def _zoo_ssf(x, h, w):
     from compressai_environment_tpu.models.video import ScaleSpaceFlow
 
-    ssf = ScaleSpaceFlow().init(input_shape=(1, h, w, 3))
-    ssf.update(force=True)
+    ssf = ScaleSpaceFlow()
+    ck = os.path.join(REPO, "checkpoints", "ssf2020-synth-q3.msgpack")
+    if os.path.exists(ck):
+        from compressai_environment_tpu.utils.checkpoint import restore_into
+
+        restore_into(ssf, ck)
+        ckname = os.path.basename(ck)
+    else:
+        ssf = ssf.init(input_shape=(1, h, w, 3))
+        ssf.update(force=True)
+        ckname = "random-init"
     ssf.stream_format = "tpu"
     frames = [x[i : i + 1].astype(np.float32) / 255.0 for i in range(3)]
-    enc_t, dec_t, _ = _timed_roundtrip(
+    enc_t, dec_t, c = _timed_roundtrip(
         lambda: ssf.compress(frames),
         lambda c: ssf.decompress(c[0], c[1])[-1],
     )
-    zoo["ssf2020"] = {
-        "gop": 3,
+    nbytes = sum(len(s) for fr in c[0] for ss in fr for s in ss)
+    return {
+        "gop": 3, "checkpoint": ckname,
+        "bpp": round(nbytes * 8 / (3 * h * w), 4),
         "encode_s_per_frame": round(enc_t / 3, 4),
         "decode_s_per_frame": round(dec_t / 3, 4),
         "ref_hw": "reference: GPU, no published per-frame wall time",
     }
+
+
+def _bench_zoo(x, h, w, result):
+    """Per-architecture enc/dec wall time per image, vs BASELINE.md.
+    Each model is its own deadline-gated, exception-isolated section."""
+    zoo = {}
+    result["detail"]["zoo"] = zoo
+    for name, fn, need_s in (
+        ("bmshj2018-hyperprior", lambda: _zoo_hyperprior(x, h, w), 150),
+        ("mbt2018", lambda: _zoo_mbt2018(x, h, w), 150),
+        ("cheng2020-anchor", lambda: _zoo_cheng2020(x, h, w), 120),
+        ("ssf2020", lambda: _zoo_ssf(x, h, w), 150),
+    ):
+        if _remaining() < need_s:
+            zoo[name] = {"skipped": f"deadline ({_remaining():.0f}s left)"}
+            continue
+        try:
+            zoo[name] = fn()
+        except Exception as e:  # noqa: BLE001
+            zoo[name] = {"error": f"{type(e).__name__}: {e}"}
     return zoo
 
 
@@ -260,6 +364,7 @@ def _bench_train():
     steady-state with the batch resident on device: chip-side training
     throughput, not the data-pipeline link."""
     import jax
+    import jax.numpy as jnp
 
     from compressai_environment_tpu.models import FactorizedPrior
     from compressai_environment_tpu.training import (
@@ -279,8 +384,6 @@ def _bench_train():
     )
     B = 16
     rng = np.random.default_rng(0)
-    import jax.numpy as jnp
-
     batch = jnp.asarray(rng.random((B, 256, 256, 3), np.float32))
     key = jax.random.key(1)
     state, _ = step(state, batch, key)
@@ -360,39 +463,35 @@ def main():
     mse = float(np.mean((x_hat - x[:CHUNK].astype(np.float32) / 255.0) ** 2))
     psnr = round(10 * np.log10(1.0 / max(mse, 1e-12)), 2)
 
-    phases = _phase_breakdown(model, x)
-    zoo = _bench_zoo(x, h, w)
-    train = _bench_train()
+    result = {
+        "metric": "bmshj2018-factorized enc+dec throughput (Kodak-size x24, 1 chip, pipelined, trained ckpt)",
+        "value": round(mbps, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+        "detail": {
+            "encode_s": round(enc_t, 3),
+            "decode_s": round(dec_t, 3),
+            "total_MB": round(total_mb, 2),
+            "checkpoint": os.path.basename(CKPT),
+            "mean_bpp": round(
+                sum(len(s) for o in outs for s in o["strings"][0])
+                * 8 / (n_images * h * w), 4
+            ),
+            "psnr_db": psnr,
+            "tunnel_h2d_MBps": tunnel_mbps,
+            "transforms_dtype": "bfloat16",
+        },
+    }
+    # HEADLINE OUT FIRST: a later-section failure or a driver timeout can
+    # no longer lose the flagship measurement (VERDICT r3 weak #1).
+    print(json.dumps(result), flush=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bmshj2018-factorized enc+dec throughput (Kodak-size x24, 1 chip, pipelined, trained ckpt)",
-                "value": round(mbps, 3),
-                "unit": "MB/s",
-                "vs_baseline": round(mbps / BASELINE_MBPS, 2),
-                "detail": {
-                    "encode_s": round(enc_t, 3),
-                    "decode_s": round(dec_t, 3),
-                    "total_MB": round(total_mb, 2),
-                    "checkpoint": os.path.basename(CKPT),
-                    "mean_bpp": round(
-                        sum(
-                            len(s)
-                            for o in outs
-                            for s in o["strings"][0]
-                        ) * 8 / (n_images * h * w), 4
-                    ),
-                    "psnr_db": psnr,
-                    "tunnel_h2d_MBps": tunnel_mbps,
-                    "phases_ms": phases,
-                    "transforms_dtype": "bfloat16",
-                    "zoo": zoo,
-                    "train": train,
-                },
-            }
-        )
-    )
+    _section(result, "phases_ms", lambda: _phase_breakdown(model, x), 60)
+    _bench_zoo(x, h, w, result)
+    _section(result, "train", _bench_train, 90)
+
+    # final enriched re-emit (the last line of output)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

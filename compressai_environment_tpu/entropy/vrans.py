@@ -146,7 +146,7 @@ def _encode_scan_packed(starts, freqs, T: int, w_cap: int):
     words, valid, state = _encode_scan(starts, freqs, T)
 
     t_iota = jnp.arange(T, dtype=jnp.uint32)[:, None]
-    if 2 * T < (1 << 16):
+    if 2 * T <= (1 << 16):  # max key 2T-1 still fits 16 bits at the boundary
         key = jnp.where(valid, t_iota, t_iota + np.uint32(T))
         fused = (key << np.uint32(16)) | jnp.where(valid, words, 0)
         body = jax.lax.sort(fused, dimension=0) & _MASK16
@@ -543,8 +543,18 @@ def _expand_stream(flat, counts, max_w: int):
     that source key aligns them with the flat stream order; sorting the
     (slot, word) pairs back by slot id yields the dense word matrix without
     a computed gather (measured 29.3 -> 25.9 ms on a 24-image batch,
-    tools/sort_compact_exp.py X0/X1). Requires flat's tail beyond the real
-    words to be zero (callers zero-pad the upload buffer)."""
+    tools/sort_compact_exp.py X0/X1).
+
+    Preconditions (the rank-based double sort silently misaligns words for
+    ALL subsequent lanes if violated — unlike the old clamped gather, which
+    degraded only locally):
+      * counts[lane] <= max_w + 2 for every lane (so each lane's words all
+        land in real slots), and
+      * counts.sum() <= flat.shape[0] (every flat word has a slot).
+    Callers guarantee both: max_w is derived from max(counts) - 2 and the
+    upload buffer is padded to cap >= total words (asserted host-side in
+    :func:`decode_batch_device`). Slots past counts[lane] are masked by
+    ``valid`` afterwards, so flat's tail content is irrelevant."""
     cap = flat.shape[0]
     L = counts.shape[0]
     n_slots = (max_w + 2) * L
@@ -1367,6 +1377,8 @@ def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None,
     body = counts_all - 2
     max_w = max(1, int(body.max()))
     max_w = 1 << (max_w - 1).bit_length()
+    # _expand_stream precondition (cheap host-side check; see its docstring)
+    assert int(counts_all.max(initial=0)) <= max_w + 2
 
     # power-of-two bucketed capacities keep the jit signature stable across
     # bitstream sizes (a raw `total`-sized shape would recompile per call)
