@@ -22,18 +22,23 @@ Encoder state update needs a uint32/uint16 division; TPUs have no integer
 divide, so it is computed as a 4-leg base-256 long division in exact-f32
 range (every intermediate < 2^24), with a one-step integer correction.
 
-Blob layout (all little-endian):
+Blob layout v2 (all little-endian; flags bit 0 set marks v2):
     u32 n_symbols | u16 lanes | u16 flags | u32 n_raw
-    u16 words_per_lane[lanes]            (includes the 2 state words;
-                                          u32 when flags bit 0 is set, for
-                                          per-lane schedules past 65535)
+    u8 count_bits | u32 count_base       (bit-packed per-lane word counts:)
+    packed counts[lanes x count_bits]    (count = base + delta, LSB-first;
+                                          includes the 2 state words)
     u16 stream words, lane-major         (per lane: state_low, state_high,
                                           then renorm words in decode order)
     u32 raw escape values[n_raw]         (in symbol order)
 
 The default lane count adapts to the tensor size (``pick_lanes``): each
-lane carries ~6 bytes of fixed cost (2 flush words + its count), so small
-tensors code with proportionally fewer lanes.
+lane carries ~4.5 bytes of fixed cost (2 flush words + its packed count),
+so small tensors code with proportionally fewer lanes. Round-4 measurement
+(tools/lane_scale_exp.py, 24x Kodak-size trained-checkpoint batch on TPU):
+the scan's per-step cost scales with vector width, so dropping from 1024
+to 256 lanes/image made decode 26% FASTER (81.2 -> 59.9 ms) and encode
+slightly faster (152 -> 142 ms) while cutting bpp 0.510 -> 0.432; 128
+lanes regressed decode (81.6 ms). ~1024 symbols/lane is the sweet spot.
 """
 
 from __future__ import annotations
@@ -52,6 +57,8 @@ __all__ = [
     "build_decode_lut",
     "build_search_cdf",
     "build_compact_tables",
+    "build_folded_rows",
+    "build_coding_cdf",
     "low_memory_mode",
     "EncodeDeviceHandle",
     "DEFAULT_LANES",
@@ -461,48 +468,165 @@ def build_packed_tables(quantized_cdf, cdf_length, offset, lut=None):
 # element-exact against the gather cores on TPU and CPU.
 # ---------------------------------------------------------------------------
 
-# compact one-hot decode is used when the table stride is at most this; the
+# compact one-hot coding uses coarse rows of at most this many symbols; the
 # per-step (lanes, stride) matmul/compare work grows linearly with stride
 # but rides the MXU — measured on v5e, stride 196 (trained EB tables)
-# decodes within ~1.2x of stride 20 (empirical tables), while the 64-row
-# Gaussian scale table (stride ~3100) stays on the packed sf-gather path
+# decodes within ~1.2x of stride 20 (empirical tables). Rows wider than
+# this are FOLDED (round 4): each wide row is re-expressed as a coarse CDF
+# over buckets of 2^k symbols whose frequencies are multiples of 2^k, and
+# the scan synthesizes the wide-table (start, freq) on the fly —
+#     start_v = C_q + (F_q >> k) * rem,   freq_v = F_q >> k
+# with rem recovered in-decode by one exact small-integer division. This
+# gives the 64-row Gaussian scale table (stride ~3100, the y-latent of
+# every hyperprior-family model — reference rans_interface.cpp:247-252 is
+# the path replaced) the same zero-gather MXU decode as narrow tables,
+# with no bitstream side channel: the blob is plain interleaved rANS over
+# the synthesized wide CDF (``build_coding_cdf``). k = 0 rows reproduce
+# the unfolded coder bit-for-bit.
 ONEHOT_MAX_STRIDE = 256
+_FOLD_MAX_COARSE = ONEHOT_MAX_STRIDE - 2  # max coarse symbols incl. escape
+
+
+def _fold_k(maxv: int) -> int:
+    """Smallest k with ceil(maxv / 2^k) + 1 coarse symbols <= the one-hot
+    stride budget."""
+    k = 0
+    while -(-maxv >> k) + 1 > _FOLD_MAX_COARSE:
+        k += 1
+    return k
+
+
+def build_folded_rows(quantized_cdf, cdf_length):
+    """Per-row coarse CDFs for the folding scheme.
+
+    Returns (coarse_cdf (R, P) int64, coarse_len (R,), ks (R,)) where row r
+    has coarse_len[r] cdf points over Q_r = ceil(maxv_r / 2^k_r) in-range
+    buckets plus the escape symbol. For k_r > 0, bucket frequencies are
+    multiples of 2^k_r (each >= 2^k_r) so freq_v = F_q >> k_r >= 1 is exact;
+    the escape frequency absorbs the rounding remainder and stays within
+    [esc_orig, esc_orig + 2^k). k_r = 0 rows are copied verbatim.
+    """
+    quantized_cdf = np.asarray(quantized_cdf, np.int64)
+    cdf_length = np.asarray(cdf_length, np.int64)
+    R = quantized_cdf.shape[0]
+    maxv = cdf_length - 2
+    ks = np.array([_fold_k(int(m)) for m in maxv], np.int64)
+    # Q = ceil(maxv / 2^k) in-range buckets + escape -> Q + 2 cdf points
+    coarse_len = np.where(ks > 0, (-(-maxv >> ks)) + 2, cdf_length)
+    P = int(coarse_len.max())
+    coarse = np.zeros((R, P), np.int64)
+    for r in range(R):
+        k, m, L = int(ks[r]), int(maxv[r]), int(cdf_length[r])
+        c = quantized_cdf[r, :L]
+        if k == 0:
+            coarse[r, :L] = c
+            continue
+        unit = 1 << k
+        Q = -(-m >> k)
+        edges = np.minimum(np.arange(Q + 1) << k, m)
+        B = c[edges[1:]] - c[edges[:-1]]  # true bucket masses, sum = c[m]
+        esc_orig = int(c[L - 1] - c[m])
+        target_units = int(c[m]) >> k  # in-range unit budget
+        U = np.maximum(1, np.round(B / unit).astype(np.int64))
+        diff = target_units - int(U.sum())
+        if diff > 0:
+            # grant extra units to the largest buckets (round-robin)
+            order = np.argsort(-B, kind="stable")
+            U[order[np.arange(diff) % Q]] += 1
+        while diff < 0:
+            # reclaim units from buckets above the 1-unit floor
+            cand = np.flatnonzero(U > 1)
+            take = min(len(cand), -diff)
+            order = cand[np.argsort(-(U[cand] * unit - B[cand]), kind="stable")]
+            U[order[:take]] -= 1
+            diff += take
+        F = U * unit
+        pts = np.concatenate([[0], np.cumsum(F)])
+        coarse[r, : Q + 1] = pts
+        coarse[r, Q + 1] = 1 << 16  # escape freq = 65536 - pts[Q] >= esc_orig
+        assert pts[Q] + esc_orig <= (1 << 16)
+    return coarse, coarse_len, ks
+
+
+def _compact_gates_ok(offset, maxv) -> bool:
+    """Shared eligibility gate for the one-hot compact/folded coder; MUST
+    stay in sync between :func:`build_compact_tables` (device cores) and
+    :func:`build_coding_cdf` (host fallbacks) so both sides pick the same
+    coding tables."""
+    return bool(
+        offset.min() >= -32767
+        and offset.max() <= 32767
+        and maxv.min() >= 0
+        and maxv.max() <= _FOLD_MAX_COARSE << 7  # k <= 7 keeps bytes exact
+        and (offset + maxv).max() <= 32767
+    )
+
+
+def build_coding_cdf(quantized_cdf, cdf_length, offset=None):
+    """The wide CDF the tpu format ACTUALLY codes with: for folded rows the
+    synthesized per-symbol table C_v = C_q + (F_q >> k) * rem; verbatim rows
+    otherwise. Host fallback encoders/decoders use this so their bitstreams
+    match the on-device folded cores byte-for-byte. Returns the input object
+    itself when no row folds (or the compact gates fail, in which case the
+    device side uses unfolded tables too)."""
+    quantized_cdf = np.asarray(quantized_cdf)
+    cdf_length = np.asarray(cdf_length, np.int64)
+    maxv = cdf_length - 2
+    if offset is not None and not _compact_gates_ok(
+        np.asarray(offset, np.int64), maxv
+    ):
+        return quantized_cdf
+    if all(_fold_k(int(m)) == 0 for m in maxv):
+        return quantized_cdf
+    coarse, coarse_len, ks = build_folded_rows(quantized_cdf, cdf_length)
+    out = np.zeros_like(np.asarray(quantized_cdf, np.int64))
+    for r in range(out.shape[0]):
+        k, m, L = int(ks[r]), int(maxv[r]), int(cdf_length[r])
+        if k == 0:
+            out[r, :L] = coarse[r, :L]
+            continue
+        v = np.arange(m, dtype=np.int64)
+        q, rem = v >> k, v & ((1 << k) - 1)
+        F = coarse[r, q + 1] - coarse[r, q]
+        out[r, :m] = coarse[r, q] + (F >> k) * rem
+        Q = -(-m >> k)
+        out[r, m] = coarse[r, Q]  # escape start
+        out[r, m + 1] = 1 << 16
+    return out.astype(np.int32)
 
 
 def build_compact_tables(quantized_cdf, cdf_length, offset):
-    """Split-byte matrices for the gather-free one-hot coder, or None when
-    the table is too wide / out of the int16 value range.
+    """Split-byte matrices for the gather-free one-hot coder (with wide rows
+    folded — see the fold note above), or None when the values are out of
+    the int16/fold range.
 
     Returns dict:
-        dec_hi/dec_lo: (R, S+2) float32-storable split bytes of
-            [search_cdf | offset+32768 | max_value]
-        enc_hi/enc_lo: (R, 2(S-1)+2) split bytes of
-            [start_table | freq_table | offset+32768 | max_value]
+        dec_hi/dec_lo: (R, S+3) float32-storable split bytes of
+            [coarse_search_cdf | offset+32768 | max_value | k]
+        enc_hi/enc_lo: (R, 2(S-1)+3) split bytes of
+            [coarse_start_table | coarse_freq_table | offset+32768
+             | max_value | k]
     (bf16 casting happens at device upload; all entries are <= 257 so the
     bf16 cast is exact.)
     """
     quantized_cdf = np.asarray(quantized_cdf, np.int64)
     cdf_length = np.asarray(cdf_length, np.int64)
     offset = np.asarray(offset, np.int64)
-    R, S = quantized_cdf.shape
     maxv = cdf_length - 2
-    if (
-        S > ONEHOT_MAX_STRIDE
-        or offset.min() < -32767
-        or offset.max() > 32767
-        or maxv.min() < 0
-        or maxv.max() >= (1 << 16)
-        or (offset + maxv).max() > 32767
-    ):
+    if not _compact_gates_ok(offset, maxv):
         return None
+    coarse, coarse_len, ks = build_folded_rows(quantized_cdf, cdf_length)
+    S = int(coarse_len.max())
+    coarse = coarse[:, :S]
     cdfS = build_search_cdf(
-        quantized_cdf.astype(np.int32), cdf_length.astype(np.int32)
+        coarse.astype(np.int32), coarse_len.astype(np.int32)
     ).astype(np.int64)
     offp = (offset + 32768)[:, None]
-    dec = np.concatenate([cdfS, offp, maxv[:, None]], axis=1)
-    start_t = quantized_cdf[:, : S - 1]
-    freq_t = np.maximum(quantized_cdf[:, 1:] - quantized_cdf[:, :-1], 0)
-    enc = np.concatenate([start_t, freq_t, offp, maxv[:, None]], axis=1)
+    kcol = ks[:, None]
+    dec = np.concatenate([cdfS, offp, maxv[:, None], kcol], axis=1)
+    start_t = coarse[:, : S - 1]
+    freq_t = np.maximum(coarse[:, 1:] - coarse[:, :-1], 0)
+    enc = np.concatenate([start_t, freq_t, offp, maxv[:, None], kcol], axis=1)
 
     def split(m):
         return (m // 256).astype(np.float32), (m % 256).astype(np.float32)
@@ -582,14 +706,27 @@ def _expand_stream(flat, counts, max_w: int):
     return x0, words[2:]
 
 
+def _exact_div_u16(num, den):
+    """num // den for int32 num in [0, 2^16], den in [1, 2^16]: one exact-f32
+    division (both operands < 2^24, error < 1 ulp) + integer correction."""
+    q = (num.astype(jnp.float32) / den.astype(jnp.float32)).astype(jnp.int32)
+    r = num - q * den
+    return q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("T",))
 def _decode_scan_onehot(x0, buf, rows, pad_mask, dec_hi, dec_lo, T: int):
-    """Gather-free decode scan. Emits per position:
+    """Gather-free decode scan over (possibly folded) coarse rows. Emits
+    per position:
         v:  int16 decoded value (symbol+offset), _POST_ESC at escapes
         mo: uint32 (offset+32768) | max_value << 16  (escape unfolding)
-    State evolution is bit-identical to the gather scans."""
+    For folded rows (k > 0) the wide-table (start, freq) is synthesized
+    in-scan: bucket q from the coarse compare-count, rem from one exact
+    division, start_v = C_q + (F_q >> k) * rem, freq_v = F_q >> k. k = 0
+    rows take the identical arithmetic with rem = 0, so state evolution is
+    bit-identical to the unfolded gather scans there."""
     R = dec_hi.shape[0]
-    S = dec_hi.shape[1] - 2
+    S = dec_hi.shape[1] - 3
 
     def step(carry, inp):
         x, buf = carry
@@ -599,24 +736,33 @@ def _decode_scan_onehot(x0, buf, rows, pad_mask, dec_hi, dec_lo, T: int):
         rcdf = ext[:, :S]
         offp = ext[:, S]
         maxv = ext[:, S + 1]
+        k = ext[:, S + 2].astype(jnp.int32)
         le = rcdf <= cum.astype(jnp.float32)[:, None]
         s = jnp.sum(le, axis=1).astype(jnp.int32) - 1
-        start = jnp.max(jnp.where(le, rcdf, 0.0), axis=1)
-        nxt = jnp.min(jnp.where(le, 65537.0, rcdf), axis=1)
-        startu = start.astype(jnp.uint32)
-        freq = (nxt - start).astype(jnp.uint32)
-        startu = jnp.where(pad, jnp.uint32(0), startu)
-        freq = jnp.where(pad, _L, freq)
+        start = jnp.max(jnp.where(le, rcdf, 0.0), axis=1).astype(jnp.int32)
+        nxt = jnp.min(jnp.where(le, 65537.0, rcdf), axis=1).astype(jnp.int32)
 
         maxv_i = maxv.astype(jnp.int32)
+        unit_m1 = (jnp.int32(1) << k) - 1
+        big_q = jnp.right_shift(maxv_i + unit_m1, k)  # escape bucket index
+        f = nxt - start
+        g = jnp.maximum(jnp.where(s == big_q, f, jnp.right_shift(f, k)), 1)
+        num = cum - start
+        rem = _exact_div_u16(num, g)  # 0 when k == 0 or escape (num < g)
+        startv = (start + g * rem).astype(jnp.uint32)
+        freq = g.astype(jnp.uint32)
+        startv = jnp.where(pad, jnp.uint32(0), startv)
+        freq = jnp.where(pad, _L, freq)
+
+        v_full = jnp.left_shift(s, k) | rem
         off_i = offp.astype(jnp.int32) - 32768
-        v = jnp.where(s == maxv_i, _POST_ESC, s + off_i)
+        v = jnp.where(v_full >= maxv_i, _POST_ESC, v_full + off_i)
         v = jnp.where(pad, 0, v).astype(jnp.int16)
         mo = offp.astype(jnp.uint32) | (
             maxv.astype(jnp.uint32) << np.uint32(16)
         )
 
-        x = freq * (x >> np.uint32(16)) + (x & _MASK16) - startu
+        x = freq * (x >> np.uint32(16)) + (x & _MASK16) - startv
         x, buf = _shift_refill(x, buf, x < _L)
         return (x, buf), (v, mo)
 
@@ -678,26 +824,37 @@ def _encode_device_core_onehot(symbols, indexes, enc_hi, enc_lo,
     batch even when empty)."""
     B, n = symbols.shape
     R = enc_hi.shape[0]
-    S1 = (enc_hi.shape[1] - 2) // 2  # = stride - 1
+    S1 = (enc_hi.shape[1] - 3) // 2  # = coarse stride - 1
 
     def per_image(args):
         sym, idx = args
         ext = _exact_select(_onehot_rows(idx, R), enc_hi, enc_lo)
-        off = ext[:, -2].astype(jnp.int32) - 32768
-        maxv = ext[:, -1].astype(jnp.int32)
+        off = ext[:, -3].astype(jnp.int32) - 32768
+        maxv = ext[:, -2].astype(jnp.int32)
+        k = ext[:, -1].astype(jnp.int32)
         value = sym - off
         esc = (value < 0) | (value >= maxv)
         raw = jnp.where(
             value < 0, (-2 * value - 1), 2 * (value - maxv)
         ).astype(jnp.uint32)
-        coded = jnp.where(esc, maxv, value)
+        # folded coding (see the fold note above): bucket q = value >> k,
+        # escape bucket Q = ceil(maxv / 2^k); k = 0 is the unfolded case
+        unit_m1 = (jnp.int32(1) << k) - 1
+        big_q = jnp.right_shift(maxv + unit_m1, k)
+        safe_value = jnp.clip(value, 0, maxv - 1)
+        coded = jnp.where(esc, big_q, jnp.right_shift(safe_value, k))
+        rem = jnp.where(esc, 0, safe_value & unit_m1)
         colsel = (
             coded[:, None] == jnp.arange(S1, dtype=jnp.int32)
         ).astype(jnp.float32)
-        start = jnp.sum(ext[:, :S1] * colsel, axis=1)
-        freq = jnp.sum(ext[:, S1 : 2 * S1] * colsel, axis=1)
+        cstart = jnp.sum(ext[:, :S1] * colsel, axis=1).astype(jnp.int32)
+        cfreq = jnp.sum(ext[:, S1 : 2 * S1] * colsel, axis=1).astype(jnp.int32)
+        g = jnp.maximum(
+            jnp.where(esc, cfreq, jnp.right_shift(cfreq, k)), 1
+        )
+        start = cstart + g * rem
         return (
-            start.astype(jnp.uint32), freq.astype(jnp.uint32), esc, raw
+            start.astype(jnp.uint32), g.astype(jnp.uint32), esc, raw
         )
 
     starts, freqs, esc, raw = jax.lax.map(per_image, (symbols, indexes))
@@ -898,32 +1055,48 @@ def _prepare_lane_params(symbols, indexes_flat, cdfs, cdfs_sizes, offsets, lanes
     return starts.reshape(lanes, T).T, freqs.reshape(lanes, T).T, raw, T
 
 
-_FLAG_COUNTS_U32 = 1  # u32 per-lane counts (T+2 > 0xFFFF); default u16
+_FLAG_V2 = 1  # blob layout v2: bit-packed per-lane counts
 
 
 def pick_lanes(n: int) -> int:
     """Default lane count for an n-symbol tensor.
 
-    Each lane costs 2 flush words + a count field (~6 bytes of fixed
-    overhead), so small tensors get proportionally fewer lanes: the widest
-    power of two keeping >= ~256 positions per lane, capped at
-    ``DEFAULT_LANES`` (a 24-image Kodak-size batch already fills the VPU at
-    1024 lanes/image). At 1024 lanes the per-lane schedule also stays well
-    under the u16 count range for any realistic image."""
-    if n >= 256 * DEFAULT_LANES:
+    Each lane costs 2 flush words + a packed count (~4.5 bytes of fixed
+    overhead), so the rate-optimal lane count is as low as the scan can
+    afford. Measured on TPU (tools/lane_scale_exp.py; see module docstring)
+    the scan's per-step cost scales with vector width, making ~1024
+    symbols/lane BOTH the fastest and near-rate-optimal point: the widest
+    power of two keeping >= ~1024 positions per lane, capped at
+    ``DEFAULT_LANES``."""
+    if n >= 1024 * DEFAULT_LANES:
         return DEFAULT_LANES
-    lanes = max(1, n // 256)
+    lanes = max(1, n // 1024)
     return 1 << (lanes.bit_length() - 1)
 
 
 def _pack_header_counts(n, lanes, n_raw, counts) -> bytes:
+    """v2 header: per-lane word counts stored as base + w-bit deltas
+    (LSB-first bit packing). Counts are low-spread (word totals per lane
+    concentrate around total/lanes), so w is typically 5-7 bits — ~4x
+    smaller than the v1 u16 fields, the largest remaining fixed per-lane
+    rate cost after the flush words."""
     counts = np.asarray(counts, np.int64)
-    wide = bool(counts.size) and int(counts.max()) > 0xFFFF
     header = np.zeros(3, dtype="<u4")
     header[0] = n
-    header[1] = lanes | ((_FLAG_COUNTS_U32 if wide else 0) << 16)
+    header[1] = lanes | (_FLAG_V2 << 16)
     header[2] = n_raw
-    return header.tobytes() + counts.astype("<u4" if wide else "<u2").tobytes()
+    if counts.size == 0:
+        return header.tobytes() + b"\x00" + np.uint32(0).tobytes()
+    base = int(counts.min())
+    delta = counts - base
+    w = max(int(delta.max()).bit_length(), 0)
+    parts = [header.tobytes(), np.uint8(w).tobytes(),
+             np.uint32(base).tobytes()]
+    if w:
+        bits = (delta[:, None] >> np.arange(w)) & 1
+        parts.append(np.packbits(
+            bits.astype(np.uint8).reshape(-1), bitorder="little").tobytes())
+    return b"".join(parts)
 
 
 def _unpack_header_counts(blob: bytes):
@@ -931,14 +1104,22 @@ def _unpack_header_counts(blob: bytes):
     header = np.frombuffer(blob[:12], dtype="<u4")
     n, lanes, n_raw = int(header[0]), int(header[1] & 0xFFFF), int(header[2])
     flags = int(header[1] >> 16)
-    off = 12
-    if flags & _FLAG_COUNTS_U32:
-        counts = np.frombuffer(blob[off : off + 4 * lanes], dtype="<u4")
-        off += 4 * lanes
+    if not flags & _FLAG_V2:
+        raise ValueError("unsupported tpu-format blob version (expected v2)")
+    w = blob[12]
+    base = int(np.frombuffer(blob[13:17], dtype="<u4")[0])
+    off = 17
+    if w:
+        nbytes = (lanes * w + 7) // 8
+        bits = np.unpackbits(
+            np.frombuffer(blob[off : off + nbytes], dtype=np.uint8),
+            count=lanes * w, bitorder="little",
+        ).reshape(lanes, w)
+        counts = base + (bits.astype(np.int64) << np.arange(w)).sum(axis=1)
+        off += nbytes
     else:
-        counts = np.frombuffer(blob[off : off + 2 * lanes], dtype="<u2")
-        off += 2 * lanes
-    return n, lanes, n_raw, counts.astype(np.int64), off
+        counts = np.full(lanes, base, np.int64)
+    return n, lanes, n_raw, counts, off
 
 
 def _pack_blob(n, lanes, raw, counts, per_lane_words) -> bytes:
@@ -1261,9 +1442,11 @@ class EncodeDeviceHandle:
         tables = self._tables
         counts_np = np.asarray(self._counts).astype(np.int64)
         if bool(self._overflow):
+            # coding_cdf == quantized_cdf unless folding is active; the host
+            # fallback must code with the same tables as the device cores
             return encode_interleaved_batch(
                 np.asarray(self._symbols), np.asarray(self._indexes),
-                tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
+                tables.coding_cdf, tables.cdf_length, tables.offset, lanes,
             )
         raw_counts_np = np.asarray(self._raw_counts).astype(np.int64)
         max_raw = int(raw_counts_np.max()) if B else 0
@@ -1331,10 +1514,11 @@ def encode_batch_device_generic(symbols_dev, indexes_dev, tables,
         T, lanes, w_cap, raw_cap,
     )
     if bool(overflow) or bool(raw_ovf):
-        # pathological stream: host fallback
+        # pathological stream: host fallback (generic path => gates failed
+        # => coding_cdf is the unfolded quantized_cdf, matching dev["cdf"])
         return encode_interleaved_batch(
             np.asarray(symbols_dev), np.asarray(indexes_dev),
-            tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
+            tables.coding_cdf, tables.cdf_length, tables.offset, lanes,
         )
 
     packed_np = np.asarray(packed)  # (w_cap, B*lanes) uint16

@@ -66,6 +66,38 @@ class CdfTables:
         return lut
 
     @property
+    def coding_cdf(self) -> np.ndarray:
+        """The CDF the "tpu" stream format actually codes with: identical to
+        ``quantized_cdf`` for narrow tables; for tables with folded wide rows
+        (``vrans.build_folded_rows``) the synthesized per-symbol expansion,
+        so host fallback paths produce byte-identical streams to the
+        on-device folded one-hot cores. The "rans" reference-parity format
+        always uses ``quantized_cdf``."""
+        cdf = getattr(self, "_coding_cdf", None)
+        if cdf is None:
+            from ..entropy.vrans import build_coding_cdf
+
+            cdf = build_coding_cdf(
+                self.quantized_cdf, self.cdf_length, self.offset
+            )
+            object.__setattr__(self, "_coding_cdf", cdf)
+        return cdf
+
+    @property
+    def coding_lut(self) -> np.ndarray:
+        """``decode_lut`` over ``coding_cdf`` (same object when no row
+        folds)."""
+        if self.coding_cdf is self.quantized_cdf:
+            return self.decode_lut
+        lut = getattr(self, "_coding_lut", None)
+        if lut is None:
+            from ..entropy.vrans import build_decode_lut
+
+            lut = build_decode_lut(self.coding_cdf, self.cdf_length)
+            object.__setattr__(self, "_coding_lut", lut)
+        return lut
+
+    @property
     def device(self) -> dict:
         """Cached device copies (jnp arrays) of the tables. Normally includes
         the (n, 65536) decode LUT; under ``COMPRESSAI_TPU_LOW_MEM=1`` the LUT
@@ -223,7 +255,7 @@ def compress_symbols_interleaved(
     batch = symbols.shape[0]
     return vrans.encode_interleaved_batch(
         symbols.reshape(batch, -1), indexes.reshape(batch, -1),
-        tables.quantized_cdf, tables.cdf_length, tables.offset, lanes,
+        tables.coding_cdf, tables.cdf_length, tables.offset, lanes,
     )
 
 
@@ -237,8 +269,8 @@ def decompress_symbols_interleaved(
     batch = indexes.shape[0]
     out = vrans.decode_interleaved_batch(
         strings, indexes.reshape(batch, -1),
-        tables.quantized_cdf, tables.cdf_length, tables.offset,
-        lut=tables.decode_lut,
+        tables.coding_cdf, tables.cdf_length, tables.offset,
+        lut=tables.coding_lut,
     )
     return out.reshape(indexes.shape)
 

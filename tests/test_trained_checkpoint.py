@@ -128,3 +128,22 @@ def test_reference_runs_same_weights(model):
     psnr_ref = 10 * np.log10(1.0 / float(np.mean((xh_ref - x) ** 2)))
     np.testing.assert_allclose(bpp_ref, rd_ours["bpp"], rtol=1e-6)
     np.testing.assert_allclose(psnr_ref, rd_ours["psnr"], rtol=1e-4)
+
+
+def test_tpu_format_rate_overhead_bounded(model):
+    """Rate-overhead regression gate (round-4 VERDICT item 8): the tpu
+    interleaved-lane format may cost at most ~2 flush words + a packed
+    count per lane over the reference-exact rans format. At the trained
+    operating point (256x256, pick_lanes -> 32 lanes/image) that is
+    ~0.015 bpp; gate at +0.018 so future format or lane-policy changes
+    cannot silently re-inflate the rate (it was +0.079 before the v2
+    blob layout + ~1024-symbols/lane policy)."""
+    x = _heldout()
+    rd = {}
+    for fmt in ("rans", "tpu"):
+        rd[fmt], _, _ = _rd_point(model, x, fmt)
+    np.testing.assert_allclose(rd["rans"]["psnr"], rd["tpu"]["psnr"], rtol=1e-6)
+    assert rd["tpu"]["bpp"] <= rd["rans"]["bpp"] + 0.018, (
+        f"tpu-format rate overhead regressed: {rd['tpu']['bpp']:.4f} vs "
+        f"rans {rd['rans']['bpp']:.4f}"
+    )

@@ -1,4 +1,5 @@
-"""Train a real bmshj2018-factorized checkpoint on synthetic content.
+"""Train a real zoo checkpoint (factorized / hyperprior / mbt2018-mean) on
+synthetic content.
 
 Retires the bench's rate-calibration hack (VERDICT r2 missing #1): instead
 of rescaling a random-init latent and baking empirical CDFs, train the
@@ -48,8 +49,26 @@ def synth_batch(seed: int, n: int, h: int, w: int) -> np.ndarray:
     return np.stack([synth_image(rng, h, w) for _ in range(n)])
 
 
+def make_model(arch: str):
+    """q5-config constructors (zoo cfgs, docs/source/zoo.rst:64-69)."""
+    from compressai_environment_tpu.models import (
+        FactorizedPrior,
+        MeanScaleHyperprior,
+        ScaleHyperprior,
+    )
+
+    return {
+        "bmshj2018-factorized": lambda: FactorizedPrior(128, 192),
+        "bmshj2018-hyperprior": lambda: ScaleHyperprior(128, 192),
+        "mbt2018-mean": lambda: MeanScaleHyperprior(128, 192),
+    }[arch]()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--arch", default="bmshj2018-factorized",
+                   choices=["bmshj2018-factorized", "bmshj2018-hyperprior",
+                            "mbt2018-mean"])
     p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--patch", type=int, default=256)
@@ -63,8 +82,10 @@ def main(argv=None):
     p.add_argument("--n-eval", type=int, default=32)
     p.add_argument("--eval-every", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--out", default="checkpoints/bmshj2018-factorized-synth-q5.msgpack")
+    p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+    if args.out is None:
+        args.out = f"checkpoints/{args.arch}-synth-q5.msgpack"
 
     import jax
 
@@ -72,7 +93,6 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
-    from compressai_environment_tpu.models import FactorizedPrior
     from compressai_environment_tpu.training import (
         PlateauScheduler,
         eval_step,
@@ -83,7 +103,7 @@ def main(argv=None):
     )
     from compressai_environment_tpu.utils.checkpoint import save_checkpoint
 
-    model = FactorizedPrior(128, 192).init(
+    model = make_model(args.arch).init(
         key=jax.random.key(args.seed), input_shape=(1, args.patch, args.patch, 3)
     )
     state, txs = init_train_state(
@@ -144,12 +164,14 @@ def main(argv=None):
     # entropy-estimated bpp_loss)
     model.stream_format = "tpu"
     c = model.compress(eval_np[:8])
-    bpp = sum(len(s) for s in c["strings"][0]) * 8 / (8 * args.patch * args.patch)
+    bpp = sum(
+        len(s) for ss in c["strings"] for s in ss
+    ) * 8 / (8 * args.patch * args.patch)
     print(f"coded bpp on held-out: {bpp:.4f}")
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     save_checkpoint(
-        model, args.out, architecture="bmshj2018-factorized",
+        model, args.out, architecture=args.arch,
         extra={"lmbda": args.lmbda, "steps": args.steps, "seed": args.seed,
                "train": "synthetic-v1", "coded_bpp_heldout": round(bpp, 4)},
     )
