@@ -1433,6 +1433,29 @@ class EncodeDeviceHandle:
             for a in (self._counts, self._raw_counts, self._overflow):
                 a.copy_to_host_async()
 
+    @classmethod
+    def from_core_outputs(cls, out, symbols_dev, indexes_fn, tables, n: int,
+                          lanes: int, w_cap: int):
+        """Wrap precomputed ``_encode_device_core_onehot`` outputs (from a
+        caller-fused jit that also ran the transform — one dispatch instead
+        of 3+, each a full tunnel RTT on the dev link). ``symbols_dev`` and
+        the zero-arg ``indexes_fn`` are used only by the rare overflow
+        fallback."""
+        self = object.__new__(cls)
+        (self._packed, self._counts, self._overflow, self._esc,
+         self._raw_dense, self._raw_counts) = out
+        B = self._esc.shape[0]
+        self._B, self._n, self._lanes = B, n, lanes
+        self._w_cap = w_cap
+        self._tables = tables
+        self._symbols = symbols_dev
+        self._indexes = indexes_fn
+        self._pt = tables.device_compact
+        assert self._pt is not None
+        for a in (self._counts, self._raw_counts, self._overflow):
+            a.copy_to_host_async()
+        return self
+
     def result(self):
         if self._pt is None:
             return encode_batch_device_generic(
@@ -1444,8 +1467,11 @@ class EncodeDeviceHandle:
         if bool(self._overflow):
             # coding_cdf == quantized_cdf unless folding is active; the host
             # fallback must code with the same tables as the device cores
+            indexes = (
+                self._indexes() if callable(self._indexes) else self._indexes
+            )
             return encode_interleaved_batch(
-                np.asarray(self._symbols), np.asarray(self._indexes),
+                np.asarray(self._symbols), np.asarray(indexes),
                 tables.coding_cdf, tables.cdf_length, tables.offset, lanes,
             )
         raw_counts_np = np.asarray(self._raw_counts).astype(np.int64)
@@ -1533,29 +1559,16 @@ def encode_batch_device_generic(symbols_dev, indexes_dev, tables,
     return _pack_device_blobs(B, n, lanes, counts_np, flat, raw_np, raw_counts_np)
 
 
-def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None,
-                        sharding=None):
-    """Decode per-image blobs to a (B, n) int32 symbol array ON DEVICE.
-
-    With packed tables the host only concatenates the raw blob words and
-    uploads the entropy-sized flat stream; lane expansion, the scan, symbol
-    recovery and escape unfolding are all fused on device.
-
-    ``sharding``: optional ``NamedSharding`` with the batch axis sharded
-    (e.g. ``P("dp")``); the per-image index/lane layout is placed with it so
-    XLA partitions the decode scan and symbol recovery across the mesh (the
-    lane axis carries the batch sharding — images are independent streams).
-    The flat word stream and tables stay replicated (entropy-sized).
-    """
-    if sharding is not None:
-        indexes_dev = jax.device_put(np.asarray(indexes_dev), sharding)
-    else:
-        indexes_dev = jnp.asarray(indexes_dev)
-    B, n = indexes_dev.shape
+def prepare_decode_blobs(blobs, n: int) -> dict:
+    """Host-side decode prep shared by :func:`decode_batch_device` and the
+    callers that fuse the decode core into a larger jit (entropy decode +
+    synthesis transform in ONE dispatch): unpack blob headers, build the
+    padded flat word stream, per-lane counts and the escape channel, and
+    derive the pow2-bucketed static shapes (stable jit signatures)."""
+    B = len(blobs)
     unpacked = [_unpack_blob(blob, n) for blob in blobs]
     lanes = unpacked[0][0]
     T = _lane_layout(n, lanes)
-    total_lanes = B * lanes
 
     counts_all = np.concatenate([u[1] for u in unpacked])
     body = counts_all - 2
@@ -1575,33 +1588,66 @@ def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None,
         raw[b, : u[3].size] = u[3]
         raw_counts[b] = u[3].size
 
+    stream_concat = np.concatenate([u[2] for u in unpacked])
+    total = int(counts_all.sum())
+    cap = -(-total // 65536) * 65536
+    stream_all = np.zeros(cap, np.uint16)
+    stream_all[:total] = stream_concat
+    return {
+        "unpacked": unpacked, "lanes": lanes, "T": T,
+        "counts_all": counts_all, "max_w": max_w,
+        "raw": raw, "raw_counts": raw_counts, "has_raw": has_raw,
+        "stream_all": stream_all, "stream_concat": stream_concat,
+    }
+
+
+def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None,
+                        sharding=None):
+    """Decode per-image blobs to a (B, n) int32 symbol array ON DEVICE.
+
+    With packed tables the host only concatenates the raw blob words and
+    uploads the entropy-sized flat stream; lane expansion, the scan, symbol
+    recovery and escape unfolding are all fused on device.
+
+    ``sharding``: optional ``NamedSharding`` with the batch axis sharded
+    (e.g. ``P("dp")``); the per-image index/lane layout is placed with it so
+    XLA partitions the decode scan and symbol recovery across the mesh (the
+    lane axis carries the batch sharding — images are independent streams).
+    The flat word stream and tables stay replicated (entropy-sized).
+    """
+    if sharding is not None:
+        indexes_dev = jax.device_put(np.asarray(indexes_dev), sharding)
+    else:
+        indexes_dev = jnp.asarray(indexes_dev)
+    B, n = indexes_dev.shape
+    prep = prepare_decode_blobs(blobs, n)
+    unpacked, lanes, T = prep["unpacked"], prep["lanes"], prep["T"]
+    counts_all, max_w = prep["counts_all"], prep["max_w"]
+    raw, raw_counts, has_raw = prep["raw"], prep["raw_counts"], prep["has_raw"]
+
     ct = tables.device_compact
     if ct is not None:
-        total = int(counts_all.sum())
-        cap = -(-total // 65536) * 65536
-        stream_all = np.zeros(cap, np.uint16)
-        stream_all[:total] = np.concatenate([u[2] for u in unpacked])
         return _decode_device_core_onehot(
-            jnp.asarray(stream_all), jnp.asarray(counts_all.astype(np.int32)),
+            jnp.asarray(prep["stream_all"]),
+            jnp.asarray(counts_all.astype(np.int32)),
             indexes_dev, jnp.asarray(raw),
             ct["dec_hi"], ct["dec_lo"], T, lanes, max_w, has_raw,
         )
 
     pt = tables.device_packed
     if pt is not None:
-        total = int(counts_all.sum())
-        cap = -(-total // 65536) * 65536
-        stream_all = np.zeros(cap, np.uint16)
-        stream_all[:total] = np.concatenate([u[2] for u in unpacked])
         return _decode_device_core2(
-            jnp.asarray(stream_all), jnp.asarray(counts_all.astype(np.int32)),
+            jnp.asarray(prep["stream_all"]),
+            jnp.asarray(counts_all.astype(np.int32)),
             indexes_dev, jnp.asarray(raw), jnp.asarray(raw_counts),
             pt["sf"], pt["post"], pt["mo"], T, lanes, max_w, has_raw,
         )
 
     # generic fallback: vectorized host unpack of all lanes into
     # (max_w, B*lanes) + init states
-    stream_all = np.concatenate([u[2] for u in unpacked])
+    total_lanes = B * lanes
+    body = counts_all - 2
+    stream_all = prep["stream_concat"]
     bounds = np.concatenate([[0], np.cumsum(counts_all)])[:-1]
     x0 = (
         stream_all[bounds].astype(np.uint32)

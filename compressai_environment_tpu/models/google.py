@@ -117,29 +117,138 @@ class FactorizedPrior(CompressionModel):
         analysis transform + on-device entropy coding without blocking and
         returns a handle whose ``result()`` yields the ``compress`` dict.
         Interleaving handles across sub-batches overlaps D2H stream
-        downloads with the next sub-batch's compute."""
+        downloads with the next sub-batch's compute.
+
+        With compact (one-hot) tables the WHOLE encode — input scaling, g_a,
+        quantization and the entropy-coding core — is ONE fused jit
+        dispatch: each separate dispatch costs a full RPC round trip on the
+        dev tunnel (~25 ms measured, tools/encode_phase_exp.py), and the
+        fusion also lets XLA skip the HBM-materialized (B, n) one-hot select
+        intermediates between passes."""
         if self.stream_format != "tpu":
             out = self.compress(x)
             return type("_Done", (), {"result": staticmethod(lambda: out)})()
         self._require_tables("y")
-        x = self._nhwc(x)
-        encode = self._jitted(
-            "encode", lambda p, v: self.net.apply(p, v, method=FactorizedPriorNet.encode)
-        )
-        y = encode({"params": self.params}, x)
-        handle = eb_ops.compress_async(y, self._medians(), self.tables["y"])
-        shape = tuple(y.shape[1:3])
+        tables = self.tables["y"]
+        ct = tables.device_compact
+        if ct is None:
+            x = self._nhwc(x)
+            encode = self._jitted(
+                "encode",
+                lambda p, v: self.net.apply(p, v, method=FactorizedPriorNet.encode),
+            )
+            y = encode({"params": self.params}, x)
+            handle = eb_ops.compress_async(y, self._medians(), tables)
+            shape = tuple(y.shape[1:3])
 
-        class _Handle:
+            class _Handle:
+                @staticmethod
+                def result():
+                    return {"strings": [handle.result()], "shape": shape}
+
+            return _Handle()
+
+        from ..entropy import vrans
+
+        x_dev = jnp.asarray(x)
+        if x_dev.ndim != 4:
+            raise ValueError("expected (B, H, W, C) input")
+        is_u8 = x_dev.dtype == jnp.uint8
+        B, H, W = x_dev.shape[0], x_dev.shape[1], x_dev.shape[2]
+        hy, wy = H // 16, W // 16
+        n = hy * wy * self.M
+        lanes = vrans.pick_lanes(n)
+        T = -(-n // lanes)
+        w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
+        med = np.asarray(self._medians())
+        cdt = self._compute_dtype
+        net, M = self.net, self.M
+
+        def fused(p, v, enc_hi, enc_lo):
+            vv = (
+                v.astype(cdt) / np.asarray(255.0, cdt) if is_u8
+                else v.astype(cdt)
+            )
+            y = net.apply(p, vv, method=FactorizedPriorNet.encode)
+            sym = jnp.round(
+                y.astype(jnp.float32) - jnp.asarray(med)
+            ).astype(jnp.int32).reshape(B, -1)
+            idx = jnp.broadcast_to(
+                jnp.arange(M, dtype=jnp.int32), y.shape
+            ).reshape(B, -1)
+            out = vrans._encode_device_core_onehot(
+                sym, idx, enc_hi, enc_lo, T, lanes, w_cap
+            )
+            return out + (sym,)
+
+        key = f"enc_fused_{x_dev.shape}_{x_dev.dtype}_{lanes}"
+        out = self._jitted(key, fused)(
+            {"params": self.params}, x_dev, ct["enc_hi"], ct["enc_lo"]
+        )
+        handle = vrans.EncodeDeviceHandle.from_core_outputs(
+            out[:-1], out[-1],
+            lambda: np.broadcast_to(
+                np.arange(M, dtype=np.int32), (B, hy, wy, M)
+            ).reshape(B, -1),
+            tables, n, lanes, w_cap,
+        )
+        shape = (hy, wy)
+
+        class _FusedHandle:
             @staticmethod
             def result():
                 return {"strings": [handle.result()], "shape": shape}
 
-        return _Handle()
+        return _FusedHandle()
 
     def decompress(self, strings, shape, *, sharding=None):
         assert isinstance(strings, list) and len(strings) == 1
         self._require_tables("y")
+        tables = self.tables["y"]
+        ct = tables.device_compact
+        if self.stream_format == "tpu" and sharding is None and ct is not None:
+            # fused single-dispatch decode: entropy-decode core + dequantize
+            # + synthesis transform in ONE jit (see compress_async)
+            from ..entropy import vrans
+
+            B = len(strings[0])
+            hy, wy = tuple(shape)
+            n = hy * wy * self.M
+            prep = vrans.prepare_decode_blobs(strings[0], n)
+            med = np.asarray(self._medians())
+            cdt = self._compute_dtype
+            net, M = self.net, self.M
+            T, lanes = prep["T"], prep["lanes"]
+            max_w, has_raw = prep["max_w"], prep["has_raw"]
+
+            def fused(p, flat, counts, raw, dec_hi, dec_lo):
+                idx = jnp.broadcast_to(
+                    jnp.arange(M, dtype=jnp.int32), (B, hy, wy, M)
+                ).reshape(B, -1)
+                sym = vrans._decode_device_core_onehot(
+                    flat, counts, idx, raw, dec_hi, dec_lo,
+                    T, lanes, max_w, has_raw,
+                )
+                y_hat = (
+                    sym.reshape(B, hy, wy, M).astype(jnp.float32)
+                    + jnp.asarray(med)
+                )
+                return net.apply(
+                    p, y_hat.astype(cdt), method=FactorizedPriorNet.decode
+                )
+
+            key = (
+                f"dec_fused_{B}_{hy}x{wy}_{lanes}_{max_w}_{has_raw}_"
+                f"{prep['raw'].shape}_{prep['stream_all'].shape}"
+            )
+            x_hat = self._jitted(key, fused)(
+                {"params": self.params},
+                jnp.asarray(prep["stream_all"]),
+                jnp.asarray(prep["counts_all"].astype(np.int32)),
+                jnp.asarray(prep["raw"]),
+                ct["dec_hi"], ct["dec_lo"],
+            )
+            return {"x_hat": x_hat.astype(jnp.float32)}
         y_hat = eb_ops.decompress(
             strings[0], tuple(shape), self._medians(), self.tables["y"],
             fmt=self.stream_format, sharding=sharding,

@@ -22,6 +22,12 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
+def _sync(arr):
+    # axon block_until_ready alone does not force execution; a tiny host
+    # readback does (cf. bench.py:_sync)
+    np.asarray(arr.ravel()[0:1])
+
+
 def best(f, reps=3):
     f()
     ts = []
@@ -71,7 +77,12 @@ def main():
         ).reshape(b, -1)
         return sym, idx
 
-    dt, (sym, idx) = best(lambda: jax.block_until_ready(prep(y)))
+    def run_prep():
+        out = prep(y)
+        _sync(out[0])
+        return out
+
+    dt, (sym, idx) = best(run_prep)
     print(f"E-quant  {dt:7.1f} ms", flush=True)
     n = sym.shape[1]
     lanes = vrans.pick_lanes(n)
@@ -82,7 +93,7 @@ def main():
     def core():
         out = vrans._encode_device_core_onehot(
             sym, idx, ct["enc_hi"], ct["enc_lo"], T, lanes, w_cap)
-        jax.block_until_ready(out[0])
+        _sync(out[0])
         return out
 
     dt, out = best(core)
@@ -118,7 +129,7 @@ def main():
 
     def dec():
         o = vrans.decode_batch_device(blobs2, idx, tables)
-        jax.block_until_ready(o)
+        _sync(o)
         return o
 
     dt, o = best(dec)
