@@ -197,12 +197,22 @@ def _phase_breakdown(model, x):
             }
     phases["transform_mfu"] = mfu
 
-    # chip-bound aggregate: what the same pipeline costs once the dev-tunnel
-    # link phases (content upload — >10 GB/s on a real host) are excluded.
-    # The coder phases keep their stream-transfer + RPC share here, so this
-    # is a conservative lower bound on chip throughput.
-    chip_ms = phases["g_a"] + phases["quantize_scan_compact_d2h"] + \
-        phases["h2d_unpack_decode_scan"] + phases["g_s"]
+    # chip-bound aggregate from the FUSED single-dispatch paths (the ones
+    # the pipeline actually runs): encode = scale+g_a+quantize+entropy core
+    # in one jit + stream D2H; decode = entropy core+dequantize+g_s in one
+    # jit. Content upload (dev-tunnel link; >10 GB/s PCIe on a production
+    # host) is excluded; each phase still carries one tunnel RPC round trip
+    # (~25 ms) plus the stream transfer, so this is a conservative lower
+    # bound on chip throughput.
+    dt, c = best(lambda: model.compress_async(x_dev).result())
+    phases["fused_encode"] = round(dt, 1)
+    dt, _ = best(
+        lambda: jax.block_until_ready(
+            model.decompress(c["strings"], c["shape"])["x_hat"]
+        )
+    )
+    phases["fused_decode"] = round(dt, 1)
+    chip_ms = phases["fused_encode"] + phases["fused_decode"]
     phases["chip_bound_MBps_lower_bound"] = round(
         x.nbytes / 1e6 / (chip_ms / 1e3), 1
     )

@@ -59,6 +59,12 @@ __all__ = [
     "build_compact_tables",
     "build_folded_rows",
     "build_coding_cdf",
+    "build_rowseq_tables",
+    "rowseq_lanes",
+    "rowseq_schedule",
+    "encode_rowseq_async",
+    "decode_rowseq_batch",
+    "blob_flags",
     "low_memory_mode",
     "EncodeDeviceHandle",
     "DEFAULT_LANES",
@@ -132,26 +138,10 @@ def _encode_scan(starts, freqs, T: int):
 
 
 @partial(jax.jit, static_argnames=("T", "w_cap"))
-def _encode_scan_packed(starts, freqs, T: int, w_cap: int):
-    """Encode + on-device stream compaction.
-
-    Returns (packed (w_cap, L) uint32 words with [0]=state_low [1]=state_high,
-    counts (L,) int32 including the 2 state words, overflow flag). Downloading
-    the packed buffer costs ~bits/16 words per symbol instead of the dense
-    (T, L) emission matrix.
-
-    Compaction is a per-lane SORT along T, not a scatter: XLA's TPU scatter
-    is latency-serialized like gathers (~12.5 ns/element), measured 44.8 ms
-    for a 24-image Kodak-size batch, while the bitonic sort network is fully
-    vectorized and runs the same compaction in 2.2 ms
-    (tools/sort_compact_exp.py S0/S1). Valid emissions get key = t, invalid
-    key = T + t, so an ascending sort puts the valid words first in t order;
-    when 2T fits in 16 bits the key and the 16-bit word share one uint32
-    (single-operand sort), otherwise a two-operand (key, word) sort is used.
-    """
-    lanes = starts.shape[1]
-    words, valid, state = _encode_scan(starts, freqs, T)
-
+def _pack_emissions(words, valid, state, T: int, w_cap: int):
+    """Emission compaction shared by all encode scans (see
+    :func:`_encode_scan_packed` for the sort-vs-scatter rationale)."""
+    lanes = words.shape[1]
     t_iota = jnp.arange(T, dtype=jnp.uint32)[:, None]
     if 2 * T <= (1 << 16):  # max key 2T-1 still fits 16 bits at the boundary
         key = jnp.where(valid, t_iota, t_iota + np.uint32(T))
@@ -176,6 +166,28 @@ def _encode_scan_packed(starts, freqs, T: int, w_cap: int):
     counts = valid.sum(axis=0).astype(jnp.int32) + 2
     overflow = jnp.any(counts > w_cap)
     return packed, counts, overflow
+
+
+@partial(jax.jit, static_argnames=("T", "w_cap"))
+def _encode_scan_packed(starts, freqs, T: int, w_cap: int):
+    """Encode + on-device stream compaction.
+
+    Returns (packed (w_cap, L) uint32 words with [0]=state_low [1]=state_high,
+    counts (L,) int32 including the 2 state words, overflow flag). Downloading
+    the packed buffer costs ~bits/16 words per symbol instead of the dense
+    (T, L) emission matrix.
+
+    Compaction is a per-lane SORT along T, not a scatter: XLA's TPU scatter
+    is latency-serialized like gathers (~12.5 ns/element), measured 44.8 ms
+    for a 24-image Kodak-size batch, while the bitonic sort network is fully
+    vectorized and runs the same compaction in 2.2 ms
+    (tools/sort_compact_exp.py S0/S1). Valid emissions get key = t, invalid
+    key = T + t, so an ascending sort puts the valid words first in t order;
+    when 2T fits in 16 bits the key and the 16-bit word share one uint32
+    (single-operand sort), otherwise a two-operand (key, word) sort is used.
+    """
+    words, valid, state = _encode_scan(starts, freqs, T)
+    return _pack_emissions(words, valid, state, T, w_cap)
 
 
 @partial(jax.jit, static_argnames=("T",))
@@ -636,6 +648,32 @@ def build_compact_tables(quantized_cdf, cdf_length, offset):
     return {"dec_hi": dec_hi, "dec_lo": dec_lo, "enc_hi": enc_hi, "enc_lo": enc_lo}
 
 
+def build_rowseq_tables(quantized_cdf, cdf_length, offset):
+    """Integer coarse tables for the row-sequential (step-major) cores, or
+    None when the compact gates fail. Same fold semantics (and therefore the
+    same synthesized coding CDF) as :func:`build_compact_tables` — streams
+    produced by either core family decode with the other's tables."""
+    quantized_cdf = np.asarray(quantized_cdf, np.int64)
+    cdf_length = np.asarray(cdf_length, np.int64)
+    offset = np.asarray(offset, np.int64)
+    maxv = cdf_length - 2
+    if not _compact_gates_ok(offset, maxv):
+        return None
+    coarse, coarse_len, ks = build_folded_rows(quantized_cdf, cdf_length)
+    S = int(coarse_len.max())
+    coarse = coarse[:, :S]
+    search = build_search_cdf(
+        coarse.astype(np.int32), coarse_len.astype(np.int32)
+    )
+    start_t = coarse[:, : S - 1].astype(np.int32)
+    freq_t = np.maximum(coarse[:, 1:] - coarse[:, :-1], 0).astype(np.int32)
+    return {
+        "search": search, "start": start_t, "freq": freq_t,
+        "off": offset.astype(np.int32), "maxv": maxv.astype(np.int32),
+        "k": ks.astype(np.int32),
+    }
+
+
 def _onehot_rows(rows, R: int):
     return (rows[..., None] == jnp.arange(R, dtype=jnp.int32)).astype(jnp.bfloat16)
 
@@ -874,6 +912,172 @@ def _encode_device_core_onehot(symbols, indexes, enc_hi, enc_lo,
     return packed, counts, overflow, esc, raw, raw_counts
 
 
+# ---------------------------------------------------------------------------
+# Row-sequential (step-major) cores — for channel-indexed tables.
+#
+# When the CDF row is a function of the CHANNEL (EntropyBottleneck: the
+# reference builds per-channel index tensors, entropy_models.py:518-529),
+# the row schedule is known before coding. Laying the symbols out PLANAR
+# (channel-major) on a step-major grid — position of (step t, lane l) in an
+# image's flat order is t * lanes + l — makes the row CONSTANT across all
+# lanes of every step whenever lanes divides H*W. The scan then consumes a
+# (T,)-row schedule: per step it slices ONE small table row and selects
+# start/freq with a (lanes, S) masked sum — no one-hot MXU matmuls, no
+# (B, n)-sized select intermediates, no gathers. Measured on TPU (round 4):
+# the standalone one-hot select pass alone cost 97 ms per 24-image
+# Kodak-size batch; this path eliminates it entirely. Blobs carry
+# _FLAG_STEPMAJOR so the decoder picks the same grid; fold semantics
+# (coarse rows, k bits) are identical to the one-hot cores.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("T", "lanes", "w_cap"))
+def _encode_device_core_rowseq(symbols, rows_t, start_tab, freq_tab,
+                               off_tab, maxv_tab, k_tab,
+                               T: int, lanes: int, w_cap: int):
+    """symbols: (B, n) int32 in PLANAR (channel-major) flat order with
+    n == T * lanes exactly; rows_t: (T,) int32 CDF row per scan step.
+    Returns the same tuple as :func:`_encode_device_core_onehot` (escape
+    channel in planar symbol order)."""
+    B, n = symbols.shape
+    L = B * lanes
+    start_T = start_tab[rows_t]          # (T, S1) — T tiny-row gathers
+    freq_T = freq_tab[rows_t]
+    off_t = off_tab[rows_t]              # (T,)
+    maxv_t = maxv_tab[rows_t]
+    k_t = k_tab[rows_t]
+
+    grid = symbols.reshape(B, T, lanes).transpose(1, 0, 2).reshape(T, L)
+    value = grid - off_t[:, None]
+    esc = (value < 0) | (value >= maxv_t[:, None])
+    raw_g = jnp.where(
+        value < 0, (-2 * value - 1), 2 * (value - maxv_t[:, None])
+    ).astype(jnp.uint32)
+    unit_m1 = (jnp.int32(1) << k_t) - 1
+    big_q = jnp.right_shift(maxv_t + unit_m1, k_t)
+    sv = jnp.clip(value, 0, maxv_t[:, None] - 1)
+    coded = jnp.where(
+        esc, big_q[:, None], jnp.right_shift(sv, k_t[:, None])
+    )
+    rem = jnp.where(esc, 0, sv & unit_m1[:, None])
+
+    S1 = start_tab.shape[1]
+    col = jnp.arange(S1, dtype=jnp.int32)[None, :]
+    x0 = jnp.full((L,), _L, jnp.uint32)
+
+    def step(x, inp):
+        coded_t, rem_t, esc_t, srow, frow, k = inp
+        sel = coded_t[:, None] == col
+        cstart = jnp.sum(jnp.where(sel, srow[None, :], 0), axis=1)
+        F = jnp.sum(jnp.where(sel, frow[None, :], 0), axis=1)
+        g = jnp.maximum(jnp.where(esc_t, F, jnp.right_shift(F, k)), 1)
+        start = (cstart + g * rem_t).astype(jnp.uint32)
+        freq = g.astype(jnp.uint32)
+
+        emit = (x >> np.uint32(16)) >= freq
+        word = (x & _MASK16).astype(jnp.uint32)
+        x = jnp.where(emit, x >> np.uint32(16), x)
+        q_, r_ = _divmod_u32_u16(x, freq)
+        x = (q_ << np.uint32(16)) + r_ + start
+        return x, (word, emit)
+
+    x_final, (words, valid) = jax.lax.scan(
+        step, x0, (coded, rem, esc, start_T, freq_T, k_t), reverse=True
+    )
+    packed, counts, overflow = _pack_emissions(words, valid, x_final, T, w_cap)
+
+    esc_bn = esc.reshape(T, B, lanes).transpose(1, 0, 2).reshape(B, n)
+    raw_bn = raw_g.reshape(T, B, lanes).transpose(1, 0, 2).reshape(B, n)
+    raw_counts = jnp.sum(esc_bn, axis=1)
+    return (
+        packed.astype(jnp.uint16), counts, overflow,
+        esc_bn, raw_bn, raw_counts,
+    )
+
+
+@partial(jax.jit, static_argnames=("T", "lanes", "max_w", "has_raw"))
+def _decode_device_core_rowseq(flat, counts, rows_t, raw, search, off_tab,
+                               maxv_tab, k_tab,
+                               T: int, lanes: int, max_w: int, has_raw: bool):
+    """Step-major decode: returns (B, n) int32 symbols in PLANAR order
+    (B inferred from the counts shape)."""
+    L = counts.shape[0]
+    B = L // lanes
+    n = T * lanes
+    search_T = search[rows_t]            # (T, S)
+    off_t = off_tab[rows_t]
+    maxv_t = maxv_tab[rows_t]
+    k_t = k_tab[rows_t]
+
+    x0, buf = _expand_stream(flat, counts, max_w)
+
+    def step(carry, inp):
+        x, buf = carry
+        crow, off, maxv, k = inp
+        cum = (x & _MASK16).astype(jnp.int32)
+        le = crow[None, :] <= cum[:, None]
+        s = jnp.sum(le, axis=1).astype(jnp.int32) - 1
+        start = jnp.max(jnp.where(le, crow[None, :], 0), axis=1)
+        nxt = jnp.min(jnp.where(le, 65537, crow[None, :]), axis=1)
+        f = nxt - start
+        big_q = jnp.right_shift(maxv + (jnp.int32(1) << k) - 1, k)
+        g = jnp.maximum(jnp.where(s == big_q, f, jnp.right_shift(f, k)), 1)
+        num = cum - start
+        rem = _exact_div_u16(num, g)
+        startv = (start + g * rem).astype(jnp.uint32)
+        freq = g.astype(jnp.uint32)
+
+        v_full = jnp.left_shift(s, k) | rem
+        v = jnp.where(v_full >= maxv, _POST_ESC, v_full + off).astype(jnp.int16)
+
+        x = freq * (x >> np.uint32(16)) + (x & _MASK16) - startv
+        x, buf = _shift_refill(x, buf, x < _L)
+        return (x, buf), v
+
+    _, vs = jax.lax.scan(
+        step, (x0, buf), (search_T, off_t, maxv_t, k_t)
+    )
+    v = vs.reshape(T, B, lanes).transpose(1, 0, 2).reshape(B, n).astype(jnp.int32)
+    if not has_raw:
+        return v
+
+    esc = v == _POST_ESC
+    pos = jnp.cumsum(esc, axis=1) - 1
+    rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], esc.shape)
+    raw_vals = raw[rows_b, jnp.clip(pos, 0, raw.shape[1] - 1)]
+    off_bn = jnp.broadcast_to(
+        off_t[:, None], (T, lanes)
+    ).reshape(1, n)
+    maxv_bn = jnp.broadcast_to(
+        maxv_t[:, None], (T, lanes)
+    ).reshape(1, n)
+    dec = (raw_vals >> np.uint32(1)).astype(jnp.int32)
+    dec = jnp.where(
+        (raw_vals & np.uint32(1)) == 1, -dec - 1 + off_bn,
+        dec + maxv_bn + off_bn,
+    )
+    return jnp.where(esc, dec, v)
+
+
+def rowseq_lanes(n: int, hw: int):
+    """Lane count for the step-major grid: the pick_lanes choice reduced
+    until it divides the per-channel spatial size (row-constant steps need
+    lanes | hw). Returns None when the grid degenerates (< 8 lanes)."""
+    lanes = pick_lanes(n)
+    while lanes > 1 and hw % lanes:
+        lanes >>= 1
+    if lanes < 8 or n % lanes:
+        return None
+    return lanes
+
+
+def rowseq_schedule(n_channels: int, hw: int, lanes: int) -> np.ndarray:
+    """(T,) int32 CDF-row (channel) id per scan step for the planar
+    step-major grid."""
+    T = n_channels * hw // lanes
+    return ((np.arange(T, dtype=np.int64) * lanes) // hw).astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("raw_cap",))
 def _raw_compact(esc, raw, raw_cap: int):
     """Compact the dense escape channel to (B, raw_cap) in symbol order.
@@ -1056,6 +1260,7 @@ def _prepare_lane_params(symbols, indexes_flat, cdfs, cdfs_sizes, offsets, lanes
 
 
 _FLAG_V2 = 1  # blob layout v2: bit-packed per-lane counts
+_FLAG_STEPMAJOR = 2  # step-major planar grid (row-sequential cores)
 
 
 def pick_lanes(n: int) -> int:
@@ -1074,7 +1279,7 @@ def pick_lanes(n: int) -> int:
     return 1 << (lanes.bit_length() - 1)
 
 
-def _pack_header_counts(n, lanes, n_raw, counts) -> bytes:
+def _pack_header_counts(n, lanes, n_raw, counts, flags: int = 0) -> bytes:
     """v2 header: per-lane word counts stored as base + w-bit deltas
     (LSB-first bit packing). Counts are low-spread (word totals per lane
     concentrate around total/lanes), so w is typically 5-7 bits — ~4x
@@ -1083,7 +1288,7 @@ def _pack_header_counts(n, lanes, n_raw, counts) -> bytes:
     counts = np.asarray(counts, np.int64)
     header = np.zeros(3, dtype="<u4")
     header[0] = n
-    header[1] = lanes | (_FLAG_V2 << 16)
+    header[1] = lanes | ((_FLAG_V2 | flags) << 16)
     header[2] = n_raw
     if counts.size == 0:
         return header.tobytes() + b"\x00" + np.uint32(0).tobytes()
@@ -1100,7 +1305,7 @@ def _pack_header_counts(n, lanes, n_raw, counts) -> bytes:
 
 
 def _unpack_header_counts(blob: bytes):
-    """Returns (n, lanes, n_raw, counts, offset_past_counts)."""
+    """Returns (n, lanes, n_raw, counts, offset_past_counts, flags)."""
     header = np.frombuffer(blob[:12], dtype="<u4")
     n, lanes, n_raw = int(header[0]), int(header[1] & 0xFFFF), int(header[2])
     flags = int(header[1] >> 16)
@@ -1119,7 +1324,7 @@ def _unpack_header_counts(blob: bytes):
         off += nbytes
     else:
         counts = np.full(lanes, base, np.int64)
-    return n, lanes, n_raw, counts, off
+    return n, lanes, n_raw, counts, off, flags
 
 
 def _pack_blob(n, lanes, raw, counts, per_lane_words) -> bytes:
@@ -1209,7 +1414,7 @@ def decode_interleaved_batch(
     total_lanes = B * lanes
     x0 = np.empty(total_lanes, np.uint32)
     words = np.zeros((max_w, total_lanes), np.uint32)
-    for b, (lns, counts, stream, raw) in enumerate(unpacked):
+    for b, (lns, counts, stream, raw, _fl) in enumerate(unpacked):
         bounds = np.concatenate([[0], np.cumsum(counts)])
         for l in range(lanes):
             s = stream[bounds[l] : bounds[l + 1]]
@@ -1247,14 +1452,14 @@ def decode_interleaved_batch(
 
 
 def _unpack_blob(blob: bytes, n_expected: int):
-    n, lanes, n_raw, counts, off = _unpack_header_counts(blob)
+    n, lanes, n_raw, counts, off, flags = _unpack_header_counts(blob)
     if n != n_expected:
         raise ValueError(f"blob holds {n} symbols, indexes imply {n_expected}")
     total_words = int(counts.sum())
     stream = np.frombuffer(blob[off : off + 2 * total_words], dtype="<u2")
     off += 2 * total_words
     raw = np.frombuffer(blob[off : off + 4 * n_raw], dtype="<u4")
-    return lanes, counts, stream, raw
+    return lanes, counts, stream, raw, flags
 
 
 def _unfold_escapes(coded, indexes_flat, cdfs_sizes, offsets, raw):
@@ -1337,7 +1542,7 @@ def decode_interleaved(
     shape = indexes.shape
     indexes_flat = indexes.reshape(-1)
 
-    n, lanes, n_raw, counts, off = _unpack_header_counts(blob)
+    n, lanes, n_raw, counts, off, _flags = _unpack_header_counts(blob)
     if n != indexes_flat.size:
         raise ValueError(f"blob holds {n} symbols, indexes imply {indexes_flat.size}")
     total_words = int(counts.sum())
@@ -1465,15 +1670,26 @@ class EncodeDeviceHandle:
         tables = self._tables
         counts_np = np.asarray(self._counts).astype(np.int64)
         if bool(self._overflow):
-            # coding_cdf == quantized_cdf unless folding is active; the host
-            # fallback must code with the same tables as the device cores
-            indexes = (
-                self._indexes() if callable(self._indexes) else self._indexes
-            )
-            return encode_interleaved_batch(
-                np.asarray(self._symbols), np.asarray(indexes),
-                tables.coding_cdf, tables.cdf_length, tables.offset, lanes,
-            )
+            retry = getattr(self, "_retry", None)
+            if retry is not None:
+                # row-sequential path: re-dispatch at full word capacity
+                # (counts <= T + 2 always, so this cannot overflow)
+                (self._packed, self._counts, self._overflow, self._esc,
+                 self._raw_dense, self._raw_counts), self._w_cap = retry()
+                counts_np = np.asarray(self._counts).astype(np.int64)
+            else:
+                # coding_cdf == quantized_cdf unless folding is active; the
+                # host fallback must code with the same tables as the
+                # device cores
+                indexes = (
+                    self._indexes() if callable(self._indexes)
+                    else self._indexes
+                )
+                return encode_interleaved_batch(
+                    np.asarray(self._symbols), np.asarray(indexes),
+                    tables.coding_cdf, tables.cdf_length, tables.offset,
+                    lanes,
+                )
         raw_counts_np = np.asarray(self._raw_counts).astype(np.int64)
         max_raw = int(raw_counts_np.max()) if B else 0
         if max_raw:
@@ -1494,11 +1710,13 @@ class EncodeDeviceHandle:
         mask = np.arange(cap_w)[:, None] < counts_np[None, :]
         flat = packed_np.T[mask.T]  # per-lane words, lane-major, ascending
         return _pack_device_blobs(
-            B, n, lanes, counts_np, flat, raw_np, raw_counts_np
+            B, n, lanes, counts_np, flat, raw_np, raw_counts_np,
+            getattr(self, "_flags", 0),
         )
 
 
-def _pack_device_blobs(B, n, lanes, counts_np, flat, raw_np, raw_counts_np):
+def _pack_device_blobs(B, n, lanes, counts_np, flat, raw_np, raw_counts_np,
+                       flags: int = 0):
     lane_bounds = np.concatenate([[0], np.cumsum(counts_np)])
     blobs = []
     for b in range(B):
@@ -1507,7 +1725,7 @@ def _pack_device_blobs(B, n, lanes, counts_np, flat, raw_np, raw_counts_np):
         blobs.append(b"".join([
             _pack_header_counts(
                 n, lanes, raw_counts_np[b],
-                counts_np[b * lanes : (b + 1) * lanes],
+                counts_np[b * lanes : (b + 1) * lanes], flags,
             ),
             flat[lo:hi].astype("<u2").tobytes(),
             raw_np[b, : raw_counts_np[b]].astype("<u4").tobytes(),
@@ -1593,11 +1811,14 @@ def prepare_decode_blobs(blobs, n: int) -> dict:
     cap = -(-total // 65536) * 65536
     stream_all = np.zeros(cap, np.uint16)
     stream_all[:total] = stream_concat
+    stepmajor = bool(unpacked[0][4] & _FLAG_STEPMAJOR)
+    assert all(bool(u[4] & _FLAG_STEPMAJOR) == stepmajor for u in unpacked)
     return {
         "unpacked": unpacked, "lanes": lanes, "T": T,
         "counts_all": counts_all, "max_w": max_w,
         "raw": raw, "raw_counts": raw_counts, "has_raw": has_raw,
         "stream_all": stream_all, "stream_concat": stream_concat,
+        "stepmajor": stepmajor,
     }
 
 
@@ -1621,6 +1842,10 @@ def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None,
         indexes_dev = jnp.asarray(indexes_dev)
     B, n = indexes_dev.shape
     prep = prepare_decode_blobs(blobs, n)
+    if prep["stepmajor"]:
+        raise ValueError(
+            "step-major blobs must be decoded through decode_rowseq_batch"
+        )
     unpacked, lanes, T = prep["unpacked"], prep["lanes"], prep["T"]
     counts_all, max_w = prep["counts_all"], prep["max_w"]
     raw, raw_counts, has_raw = prep["raw"], prep["raw_counts"], prep["has_raw"]
@@ -1674,4 +1899,57 @@ def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None,
         jnp.asarray(x0), jnp.asarray(words), indexes_dev,
         jnp.asarray(raw), jnp.asarray(raw_counts),
         dev["lut"], dev["cdf"], dev["sizes"], dev["offsets"], T, lanes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-sequential host entry points
+# ---------------------------------------------------------------------------
+
+
+def blob_flags(blob: bytes) -> int:
+    return int(np.frombuffer(blob[4:8], "<u4")[0]) >> 16
+
+
+def encode_rowseq_async(symbols_planar_dev, n_channels: int, hw: int,
+                        tables, lanes: int = None):
+    """Dispatch the step-major encode for PLANAR (channel-major) (B, n)
+    device symbols; returns an :class:`EncodeDeviceHandle`. Caller must have
+    checked ``rowseq_lanes(n, hw)`` and ``tables.device_rowseq``."""
+    B, n = symbols_planar_dev.shape
+    lanes = rowseq_lanes(n, hw) if lanes is None else lanes
+    T = n // lanes
+    w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
+    rt = tables.device_rowseq
+    rows_t = jnp.asarray(rowseq_schedule(n_channels, hw, lanes))
+
+    def run(cap):
+        return _encode_device_core_rowseq(
+            symbols_planar_dev, rows_t, rt["start"], rt["freq"],
+            rt["off"], rt["maxv"], rt["k"], T, lanes, cap,
+        )
+
+    handle = EncodeDeviceHandle.from_core_outputs(
+        run(w_cap), symbols_planar_dev, None, tables, n, lanes, w_cap,
+    )
+    handle._flags = _FLAG_STEPMAJOR
+    handle._retry = lambda: (run(T + 2), T + 2)
+    return handle
+
+
+def decode_rowseq_batch(blobs, n_channels: int, hw: int, tables):
+    """Decode step-major blobs to (B, n) int32 PLANAR symbols on device."""
+    n = n_channels * hw
+    prep = prepare_decode_blobs(blobs, n)
+    if not prep["stepmajor"]:
+        raise ValueError("blobs are not step-major; use decode_batch_device")
+    lanes, T = prep["lanes"], prep["T"]
+    rt = tables.device_rowseq
+    rows_t = jnp.asarray(rowseq_schedule(n_channels, hw, lanes))
+    return _decode_device_core_rowseq(
+        jnp.asarray(prep["stream_all"]),
+        jnp.asarray(prep["counts_all"].astype(np.int32)),
+        rows_t, jnp.asarray(prep["raw"]),
+        rt["search"], rt["off"], rt["maxv"], rt["k"],
+        T, lanes, prep["max_w"], prep["has_raw"],
     )

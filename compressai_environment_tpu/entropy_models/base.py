@@ -148,6 +148,28 @@ class CdfTables:
         return dev
 
     @property
+    def device_rowseq(self):
+        """Cached device copies of the integer coarse tables for the
+        row-sequential (step-major) cores (``vrans.build_rowseq_tables``);
+        None when the compact gates fail. Same fold semantics as
+        ``device_compact`` — the two core families are stream-compatible."""
+        dev = getattr(self, "_device_rowseq", "unset")
+        if dev == "unset":
+            import jax.numpy as jnp
+
+            from ..entropy.vrans import build_rowseq_tables
+
+            host = build_rowseq_tables(
+                self.quantized_cdf, self.cdf_length, self.offset
+            )
+            dev = (
+                {k: jnp.asarray(v) for k, v in host.items()}
+                if host is not None else None
+            )
+            object.__setattr__(self, "_device_rowseq", dev)
+        return dev
+
+    @property
     def device_packed(self):
         """Cached device copies of the gather-minimizing packed tables
         (``vrans.build_packed_tables``), or None if the table ranges don't

@@ -226,14 +226,36 @@ def compress(x, medians: np.ndarray, tables: CdfTables, fmt: str = "rans"):
     return compress_symbols(symbols, indexes, tables)
 
 
+def _single_device(x) -> bool:
+    sh = getattr(x, "sharding", None)
+    return sh is None or len(sh.device_set) <= 1
+
+
 def compress_async(x, medians: np.ndarray, tables: CdfTables):
     """Two-phase "tpu"-format encode: dispatches all device work and returns
     a handle; ``handle.result()`` fetches + packs blobs. Lets callers overlap
-    one chunk's D2H with the next chunk's compute."""
+    one chunk's D2H with the next chunk's compute.
+
+    Single-device inputs with channel-divisible spatial sizes take the
+    row-sequential step-major path (planar layout, per-step constant CDF
+    row — no one-hot select work at all, ``vrans._encode_device_core_rowseq``);
+    mesh-sharded inputs keep the lane-blocked layout, which partitions over
+    the batch axis."""
     from ..entropy import vrans
 
     x = jnp.asarray(x)
     b, c = x.shape[0], x.shape[-1]
+    n = int(np.prod(x.shape[1:]))
+    hw = n // c
+    lanes = vrans.rowseq_lanes(n, hw)
+    if (
+        lanes is not None and _single_device(x)
+        and tables.device_rowseq is not None
+    ):
+        xp = jnp.moveaxis(x, -1, 1).reshape(b, -1)  # planar (channel-major)
+        med_rep = jnp.repeat(jnp.asarray(medians, jnp.float32), hw)
+        symbols = jnp.round(xp.astype(jnp.float32) - med_rep).astype(jnp.int32)
+        return vrans.encode_rowseq_async(symbols, c, hw, tables, lanes)
     symbols = jnp.round(
         x - jnp.asarray(medians).reshape(-1)
     ).astype(jnp.int32).reshape(b, -1)
@@ -256,6 +278,16 @@ def decompress(strings, spatial_shape, medians: np.ndarray, tables: CdfTables,
         from ..entropy import vrans
 
         b = len(strings)
+        if strings and vrans.blob_flags(strings[0]) & vrans._FLAG_STEPMAJOR:
+            hw = int(np.prod(spatial_shape))
+            sym = vrans.decode_rowseq_batch(strings, c, hw, tables)
+            sym = jnp.moveaxis(
+                sym.reshape((b, c) + tuple(spatial_shape)), 1, -1
+            )
+            return (
+                sym.astype(jnp.float32)
+                + jnp.asarray(medians, jnp.float32).reshape(-1)
+            )
         indexes = jnp.broadcast_to(
             jnp.arange(c, dtype=jnp.int32), out_shape
         ).reshape(b, -1)

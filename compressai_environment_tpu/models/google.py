@@ -156,42 +156,87 @@ class FactorizedPrior(CompressionModel):
         is_u8 = x_dev.dtype == jnp.uint8
         B, H, W = x_dev.shape[0], x_dev.shape[1], x_dev.shape[2]
         hy, wy = H // 16, W // 16
-        n = hy * wy * self.M
-        lanes = vrans.pick_lanes(n)
-        T = -(-n // lanes)
-        w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
+        hw = hy * wy
+        n = hw * self.M
         med = np.asarray(self._medians())
         cdt = self._compute_dtype
         net, M = self.net, self.M
 
-        def fused(p, v, enc_hi, enc_lo):
-            vv = (
-                v.astype(cdt) / np.asarray(255.0, cdt) if is_u8
-                else v.astype(cdt)
-            )
-            y = net.apply(p, vv, method=FactorizedPriorNet.encode)
-            sym = jnp.round(
-                y.astype(jnp.float32) - jnp.asarray(med)
-            ).astype(jnp.int32).reshape(B, -1)
-            idx = jnp.broadcast_to(
-                jnp.arange(M, dtype=jnp.int32), y.shape
-            ).reshape(B, -1)
-            out = vrans._encode_device_core_onehot(
-                sym, idx, enc_hi, enc_lo, T, lanes, w_cap
-            )
-            return out + (sym,)
+        rt = tables.device_rowseq
+        rl = vrans.rowseq_lanes(n, hw)
+        if rt is not None and rl is not None:
+            # row-sequential planar grid: zero select work in the scan
+            lanes, T = rl, n // rl
+            w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
+            rows_t = vrans.rowseq_schedule(M, hw, lanes)
+            med_rep = np.repeat(med.astype(np.float32), hw)
 
-        key = f"enc_fused_{x_dev.shape}_{x_dev.dtype}_{lanes}"
-        out = self._jitted(key, fused)(
-            {"params": self.params}, x_dev, ct["enc_hi"], ct["enc_lo"]
-        )
-        handle = vrans.EncodeDeviceHandle.from_core_outputs(
-            out[:-1], out[-1],
-            lambda: np.broadcast_to(
-                np.arange(M, dtype=np.int32), (B, hy, wy, M)
-            ).reshape(B, -1),
-            tables, n, lanes, w_cap,
-        )
+            def fused(p, v, start_t, freq_t, off_t, maxv_t, k_t):
+                vv = (
+                    v.astype(cdt) / np.asarray(255.0, cdt) if is_u8
+                    else v.astype(cdt)
+                )
+                y = net.apply(p, vv, method=FactorizedPriorNet.encode)
+                yp = y.transpose(0, 3, 1, 2).reshape(B, -1)
+                sym = jnp.round(
+                    yp.astype(jnp.float32) - jnp.asarray(med_rep)
+                ).astype(jnp.int32)
+                out = vrans._encode_device_core_rowseq(
+                    sym, jnp.asarray(rows_t), start_t, freq_t,
+                    off_t, maxv_t, k_t, T, lanes, w_cap,
+                )
+                return out + (sym,)
+
+            key = f"enc_fused_rs_{x_dev.shape}_{x_dev.dtype}_{lanes}"
+            out = self._jitted(key, fused)(
+                {"params": self.params}, x_dev, rt["start"], rt["freq"],
+                rt["off"], rt["maxv"], rt["k"],
+            )
+            handle = vrans.EncodeDeviceHandle.from_core_outputs(
+                out[:-1], out[-1], None, tables, n, lanes, w_cap,
+            )
+            handle._flags = vrans._FLAG_STEPMAJOR
+            sym_dev, rows_dev = out[-1], jnp.asarray(rows_t)
+            handle._retry = lambda: (
+                vrans._encode_device_core_rowseq(
+                    sym_dev, rows_dev, rt["start"], rt["freq"],
+                    rt["off"], rt["maxv"], rt["k"], T, lanes, T + 2,
+                ),
+                T + 2,
+            )
+        else:
+            lanes = vrans.pick_lanes(n)
+            T = -(-n // lanes)
+            w_cap = min(max(8, (T * 10) // 16 + 4), T + 2)
+
+            def fused(p, v, enc_hi, enc_lo):
+                vv = (
+                    v.astype(cdt) / np.asarray(255.0, cdt) if is_u8
+                    else v.astype(cdt)
+                )
+                y = net.apply(p, vv, method=FactorizedPriorNet.encode)
+                sym = jnp.round(
+                    y.astype(jnp.float32) - jnp.asarray(med)
+                ).astype(jnp.int32).reshape(B, -1)
+                idx = jnp.broadcast_to(
+                    jnp.arange(M, dtype=jnp.int32), y.shape
+                ).reshape(B, -1)
+                out = vrans._encode_device_core_onehot(
+                    sym, idx, enc_hi, enc_lo, T, lanes, w_cap
+                )
+                return out + (sym,)
+
+            key = f"enc_fused_{x_dev.shape}_{x_dev.dtype}_{lanes}"
+            out = self._jitted(key, fused)(
+                {"params": self.params}, x_dev, ct["enc_hi"], ct["enc_lo"]
+            )
+            handle = vrans.EncodeDeviceHandle.from_core_outputs(
+                out[:-1], out[-1],
+                lambda: np.broadcast_to(
+                    np.arange(M, dtype=np.int32), (B, hy, wy, M)
+                ).reshape(B, -1),
+                tables, n, lanes, w_cap,
+            )
         shape = (hy, wy)
 
         class _FusedHandle:
@@ -213,13 +258,44 @@ class FactorizedPrior(CompressionModel):
 
             B = len(strings[0])
             hy, wy = tuple(shape)
-            n = hy * wy * self.M
+            hw = hy * wy
+            n = hw * self.M
             prep = vrans.prepare_decode_blobs(strings[0], n)
             med = np.asarray(self._medians())
             cdt = self._compute_dtype
             net, M = self.net, self.M
             T, lanes = prep["T"], prep["lanes"]
             max_w, has_raw = prep["max_w"], prep["has_raw"]
+
+            if prep["stepmajor"]:
+                rt = tables.device_rowseq
+                rows_t = vrans.rowseq_schedule(M, hw, lanes)
+                med_rep = np.repeat(med.astype(np.float32), hw)
+
+                def fused(p, flat, counts, raw, search, off_t, maxv_t, k_t):
+                    sym = vrans._decode_device_core_rowseq(
+                        flat, counts, jnp.asarray(rows_t), raw,
+                        search, off_t, maxv_t, k_t,
+                        T, lanes, max_w, has_raw,
+                    )
+                    yp = sym.astype(jnp.float32) + jnp.asarray(med_rep)
+                    y_hat = yp.reshape(B, M, hy, wy).transpose(0, 2, 3, 1)
+                    return net.apply(
+                        p, y_hat.astype(cdt), method=FactorizedPriorNet.decode
+                    )
+
+                key = (
+                    f"dec_fused_rs_{B}_{hy}x{wy}_{lanes}_{max_w}_{has_raw}_"
+                    f"{prep['raw'].shape}_{prep['stream_all'].shape}"
+                )
+                x_hat = self._jitted(key, fused)(
+                    {"params": self.params},
+                    jnp.asarray(prep["stream_all"]),
+                    jnp.asarray(prep["counts_all"].astype(np.int32)),
+                    jnp.asarray(prep["raw"]),
+                    rt["search"], rt["off"], rt["maxv"], rt["k"],
+                )
+                return {"x_hat": x_hat.astype(jnp.float32)}
 
             def fused(p, flat, counts, raw, dec_hi, dec_lo):
                 idx = jnp.broadcast_to(
