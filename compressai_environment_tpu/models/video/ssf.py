@@ -448,14 +448,17 @@ class ScaleSpaceFlow(CompressionModel):
         q = self.params[f"{branch}_hyperprior"]["entropy_bottleneck"]["quantiles"]
         return np.asarray(q, np.float32)[:, 0, 1]
 
-    def _hyper_compress(self, branch, y):
+    def _hyper_compress(self, branch, y, defer: bool = False):
         """Two-stage hyperprior coding with STE-consistent reconstruction
         (reference ``Hyperprior.compress``, ``models/video/google.py:169-183``).
 
         The "tpu" path is fully device-resident — latents never visit the
-        host, and the z-stream fetch overlaps the hyper-synthesis +
-        y-coding dispatch (frames are several MB of latent per branch at
-        1080p, so host round trips dominate otherwise)."""
+        host. With ``defer=True`` the stream fetches are NOT performed here:
+        the GOP recursion only needs ``y_hat`` (device math), so the caller
+        dispatches the whole GOP's coding first and drains every handle at
+        the end — the per-frame ``result()`` round trips were the 3x
+        per-pixel encode overhead flagged in round 3 (each fetch costs a
+        counts sync + stream D2H + tunnel RTT)."""
         y = jnp.asarray(y)
         z = self._run(f"{branch}_hyper_encode_z", y)
         z_tab = self.tables[f"{branch}_z"]
@@ -478,6 +481,11 @@ class ScaleSpaceFlow(CompressionModel):
         if fmt == "tpu":
             y_handle = gc_ops.compress_async(y, indexes, y_tab, means)
             y_hat = jnp.round(y - means) + means
+            if defer:
+                return y_hat, {
+                    "handles": (y_handle, z_handle),
+                    "shape": tuple(z.shape[1:3]),
+                }
             y_string = y_handle.result()
             z_string = z_handle.result()
         else:
@@ -490,6 +498,13 @@ class ScaleSpaceFlow(CompressionModel):
             "strings": [y_string, z_string],
             "shape": tuple(z.shape[1:3]),
         }
+
+    @staticmethod
+    def _resolve_strings(out):
+        if "handles" in out:
+            y_handle, z_handle = out.pop("handles")
+            out["strings"] = [y_handle.result(), z_handle.result()]
+        return out["strings"]
 
     def _hyper_decompress(self, branch, strings, shape):
         z_tab = self.tables[f"{branch}_z"]
@@ -509,38 +524,50 @@ class ScaleSpaceFlow(CompressionModel):
         if not isinstance(frames, (list, tuple)):
             raise RuntimeError(f"Invalid number of frames: {len(frames)}.")
         self._require_ssf_tables()
-        frame_strings, shape_infos = [], []
+        defer = self.stream_format == "tpu"
+        frame_strings, shape_infos, pending = [], [], []
 
         x = jnp.asarray(frames[0])
         y = self._run("img_encoder", x)
-        y_hat, out_keyframe = self._hyper_compress("img", y)
+        y_hat, out_keyframe = self._hyper_compress("img", y, defer=defer)
         x_ref = self._run("img_decoder", y_hat)
-        frame_strings.append(out_keyframe["strings"])
+        pending.append(out_keyframe)
         shape_infos.append(out_keyframe["shape"])
 
         for i in range(1, len(frames)):
             x_cur = jnp.asarray(frames[i])
             xcat = jnp.concatenate((x_cur, x_ref), axis=-1)
             y_motion = self._run("motion_encoder", xcat)
-            y_motion_hat, out_motion = self._hyper_compress("motion", y_motion)
+            y_motion_hat, out_motion = self._hyper_compress(
+                "motion", y_motion, defer=defer
+            )
 
             motion_info = self._run("motion_decoder", y_motion_hat)
             x_pred = self._predict(x_ref, motion_info)
 
             x_res = x_cur - x_pred
             y_res = self._run("res_encoder", x_res)
-            y_res_hat, out_res = self._hyper_compress("res", y_res)
+            y_res_hat, out_res = self._hyper_compress("res", y_res, defer=defer)
 
             y_combine = jnp.concatenate((y_res_hat, y_motion_hat), axis=-1)
             x_res_hat = self._run("res_decoder", y_combine)
             x_ref = x_pred + x_res_hat
 
-            frame_strings.append(
-                {"motion": out_motion["strings"], "residual": out_res["strings"]}
-            )
+            pending.append({"motion": out_motion, "residual": out_res})
             shape_infos.append(
                 {"motion": out_motion["shape"], "residual": out_res["shape"]}
             )
+
+        # drain every frame's stream fetches only after the whole GOP's
+        # device work is dispatched (see _hyper_compress)
+        for p in pending:
+            if "motion" in p:
+                frame_strings.append({
+                    "motion": self._resolve_strings(p["motion"]),
+                    "residual": self._resolve_strings(p["residual"]),
+                })
+            else:
+                frame_strings.append(self._resolve_strings(p))
 
         return frame_strings, shape_infos
 

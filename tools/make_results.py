@@ -49,9 +49,18 @@ def make_dataset(root: Path) -> Path:
     return root
 
 
-def eval_learned(dataset: Path, ckpts, coder: str) -> dict:
+ARCHS = {
+    "bmshj2018-factorized": lambda: __import__(
+        "compressai_environment_tpu.models", fromlist=["FactorizedPrior"]
+    ).FactorizedPrior(128, 192),
+    "bmshj2018-hyperprior": lambda: __import__(
+        "compressai_environment_tpu.models", fromlist=["ScaleHyperprior"]
+    ).ScaleHyperprior(128, 192),
+}
+
+
+def eval_learned(dataset: Path, arch: str, ckpts, coder: str) -> dict:
     import compressai_environment_tpu as cai
-    from compressai_environment_tpu.models import FactorizedPrior
     from compressai_environment_tpu.utils.checkpoint import restore_into
     from compressai_environment_tpu.utils.eval_model.__main__ import (
         collect_images,
@@ -61,16 +70,68 @@ def eval_learned(dataset: Path, ckpts, coder: str) -> dict:
     filepaths = collect_images(str(dataset))
     results = {}
     for ckpt in ckpts:
-        model = FactorizedPrior(128, 192)
+        model = ARCHS[arch]()
         restore_into(model, ckpt)
         model.stream_format = cai.coder_stream_formats[coder]
         metrics = eval_model(model, filepaths)
         for k, v in metrics.items():
             results.setdefault(k, []).append(v)
     return {
-        "name": "bmshj2018-factorized (synthetic-trained)",
+        "name": f"{arch} (synthetic-trained)",
         "description": f"Inference ({coder})",
         "results": results,
+    }
+
+
+def eval_video(ckpt: Path, coder: str, n_gops: int = 4) -> dict:
+    """ssf2020 GOP RD on held-out synthetic triplets (the reference bar is
+    results/video/UVG-1080p/ssf2020-mse-ans-vimeo.json; schema kept
+    compatible with the video plot CLI: bpp + psnr-rgb arrays)."""
+    import numpy as np
+
+    import compressai_environment_tpu as cai
+    from compressai_environment_tpu.models.video import ScaleSpaceFlow
+    from compressai_environment_tpu.utils.checkpoint import restore_into
+    from train_synth_video import synth_triplet_batch
+
+    model = ScaleSpaceFlow()
+    restore_into(model, ckpt)
+    model.stream_format = cai.coder_stream_formats[coder]
+
+    gops = synth_triplet_batch(DATASET_SEED + 1, n_gops, 256, 384)
+    n_pix = 3 * 256 * 384
+    bpps, psnrs = [], []
+    for g in range(n_gops):
+        frames = [gops[g : g + 1, t] for t in range(3)]
+        strings, shapes = model.compress(frames)
+        rec = model.decompress(strings, shapes)
+        nbytes = 0
+
+        def _count(x):
+            nonlocal nbytes
+            if isinstance(x, dict):
+                for v in x.values():
+                    _count(v)
+            elif isinstance(x, (list, tuple)):
+                for v in x:
+                    _count(v)
+            else:
+                nbytes += len(x)
+
+        _count(strings)
+        bpps.append(nbytes * 8 / n_pix)
+        mse = np.mean([
+            np.mean((np.clip(np.asarray(r, np.float32), 0, 1) - f) ** 2)
+            for r, f in zip(rec, frames)
+        ])
+        psnrs.append(10 * np.log10(1.0 / max(float(mse), 1e-12)))
+    return {
+        "name": "ssf2020 (synthetic-trained)",
+        "description": f"Inference ({coder}), 3-frame GOPs, 384x256",
+        "results": {
+            "bpp": [float(np.mean(bpps))],
+            "psnr-rgb": [float(np.mean(psnrs))],
+        },
     }
 
 
@@ -102,18 +163,30 @@ def main(argv=None):
     make_dataset(ds)
     print(f"dataset: {ds} ({N_IMAGES} x 768x512)")
 
-    ckpts = sorted((REPO / "checkpoints").glob("bmshj2018-factorized-synth-q*.msgpack"))
-    if not ckpts:
-        raise SystemExit("no trained checkpoints under checkpoints/")
-    print(f"checkpoints: {[c.name for c in ckpts]}")
+    for arch in ("bmshj2018-factorized", "bmshj2018-hyperprior"):
+        ckpts = sorted((REPO / "checkpoints").glob(f"{arch}-synth-q*.msgpack"))
+        if not ckpts:
+            print(f"no {arch} checkpoints; skipping")
+            continue
+        print(f"{arch} checkpoints: {[c.name for c in ckpts]}")
+        for coder in ("ans", "tpu"):
+            r = eval_learned(ds, arch, ckpts, coder)
+            fname = out / f"compressai-environment-tpu-{arch}_mse_{coder}.json"
+            fname.write_text(json.dumps(r, indent=2))
+            print(f"wrote {fname}")
+            print("  bpp:", [round(v, 4) for v in r["results"]["bpp"]])
+            print("  psnr:", [round(v, 2) for v in r["results"]["psnr"]])
 
-    for coder in ("ans", "tpu"):
-        r = eval_learned(ds, ckpts, coder)
-        fname = out / f"compressai-environment-tpu-bmshj2018-factorized_mse_{coder}.json"
-        fname.write_text(json.dumps(r, indent=2))
-        print(f"wrote {fname}")
-        print("  bpp:", [round(v, 4) for v in r["results"]["bpp"]])
-        print("  psnr:", [round(v, 2) for v in r["results"]["psnr"]])
+    vckpt = REPO / "checkpoints" / "ssf2020-synth-q3.msgpack"
+    if vckpt.exists():
+        vout = REPO / "results" / "synthetic-video"
+        vout.mkdir(parents=True, exist_ok=True)
+        for coder in ("ans", "tpu"):
+            r = eval_video(vckpt, coder)
+            fname = vout / f"compressai-environment-tpu-ssf2020_mse_{coder}.json"
+            fname.write_text(json.dumps(r, indent=2))
+            print(f"wrote {fname}: bpp {r['results']['bpp']}, "
+                  f"psnr-rgb {r['results']['psnr-rgb']}")
 
     for codec, qualities in (("jpeg", [10, 25, 50, 75, 92]),
                              ("webp", [5, 25, 50, 75, 95])):
