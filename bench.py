@@ -335,7 +335,15 @@ def _zoo_ssf(x, h, w):
         lambda: ssf.compress(frames),
         lambda c: ssf.decompress(c[0], c[1])[-1],
     )
-    nbytes = sum(len(s) for fr in c[0] for ss in fr for s in ss)
+
+    def _count(obj):
+        if isinstance(obj, dict):
+            return sum(_count(v) for v in obj.values())
+        if isinstance(obj, (list, tuple)):
+            return sum(_count(v) for v in obj)
+        return len(obj)
+
+    nbytes = _count(c[0])
     return {
         "gop": 3, "checkpoint": ckname,
         "bpp": round(nbytes * 8 / (3 * h * w), 4),

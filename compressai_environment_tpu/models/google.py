@@ -432,6 +432,15 @@ class ScaleHyperprior(CompressionModel):
     # -- codec paths -------------------------------------------------------
     def compress(self, x):
         self._require_tables("y", "z")
+        sharded = (
+            isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
+        )
+        if (
+            self.stream_format == "tpu" and not sharded
+            and self.tables["y"].device_compact is not None
+        ):
+            # single-device: the fused single-dispatch path
+            return self.compress_async(x).result()
         x = self._nhwc(x)
         encode = self._jitted(
             "encode", lambda p, v: self.net.apply(p, v, method=self.net_cls.encode)
@@ -460,26 +469,161 @@ class ScaleHyperprior(CompressionModel):
         """Two-phase compress ("tpu" format): all device work (transforms,
         z/y entropy-coding scans) is dispatched without blocking; only
         ``result()`` fetches streams. Interleaving handles across sub-batches
-        overlaps D2H with the next sub-batch's compute."""
+        overlaps D2H with the next sub-batch's compute.
+
+        With compact y-tables the ENTIRE encode — g_a, h_a, z coding,
+        encoder-side z_hat, h_s, index building and y coding — is ONE fused
+        jit dispatch (every separate dispatch costs a tunnel RPC round trip,
+        ~25 ms measured; the split path paid ~8 of them)."""
         if self.stream_format != "tpu":
             out = self.compress(x)
             return type("_Done", (), {"result": staticmethod(lambda: out)})()
         self._require_tables("y", "z")
+        y_tab, z_tab = self.tables["y"], self.tables["z"]
+        y_ct = y_tab.device_compact
+        if y_ct is None:
+            return self._compress_async_split(x)
+
+        from ..entropy import vrans
+
+        x_dev = jnp.asarray(x)
+        is_u8 = x_dev.dtype == jnp.uint8
+        B, H, W = x_dev.shape[0], x_dev.shape[1], x_dev.shape[2]
+        if H % 64 or W % 64:
+            # non-x64 sizes break the y == 4*z spatial relation the fused
+            # decode relies on; keep the split-dispatch path
+            return self._compress_async_split(x_dev)
+        hy, wy = H // 16, W // 16
+        hz, wz = H // 64, W // 64
+        M, N = self.M, self._eb_channels()
+        n_y, n_z = hy * wy * M, hz * wz * N
+        z_hw = hz * wz
+        y_lanes = vrans.pick_lanes(n_y)
+        y_T = -(-n_y // y_lanes)
+        y_wcap = min(max(8, (y_T * 10) // 16 + 4), y_T + 2)
+        z_rt = z_tab.device_rowseq
+        z_rl = vrans.rowseq_lanes(n_z, z_hw)
+        z_rowseq = z_rt is not None and z_rl is not None
+        if z_rowseq:
+            z_lanes, z_T = z_rl, n_z // z_rl
+            z_rows = vrans.rowseq_schedule(N, z_hw, z_lanes)
+        else:
+            z_ct = z_tab.device_compact
+            if z_ct is None:
+                raise NotImplementedError("fused path needs compact z tables")
+            z_lanes = vrans.pick_lanes(n_z)
+            z_T = -(-n_z // z_lanes)
+        z_wcap = min(max(8, (z_T * 10) // 16 + 4), z_T + 2)
+        z_med = self._medians()
+        cdt = self._compute_dtype
+        net, net_cls = self.net, self.net_cls
+        uses_means = self.uses_means
+
+        def fused(p, v, y_enc_hi, y_enc_lo, *z_args):
+            vv = (
+                v.astype(cdt) / np.asarray(255.0, cdt) if is_u8
+                else v.astype(cdt)
+            )
+            y, z = net.apply(p, vv, method=net_cls.encode)
+            zf = z.astype(jnp.float32)
+            if z_rowseq:
+                zp = zf.transpose(0, 3, 1, 2).reshape(B, -1)
+                z_sym = jnp.round(
+                    zp - jnp.asarray(np.repeat(z_med, z_hw))
+                ).astype(jnp.int32)
+                z_out = vrans._encode_device_core_rowseq(
+                    z_sym, jnp.asarray(z_rows), *z_args,
+                    T=z_T, lanes=z_lanes, w_cap=z_wcap,
+                )
+            else:
+                z_sym = jnp.round(
+                    zf - jnp.asarray(z_med)
+                ).astype(jnp.int32).reshape(B, -1)
+                z_idx = jnp.broadcast_to(
+                    jnp.arange(N, dtype=jnp.int32), z.shape
+                ).reshape(B, -1)
+                z_out = vrans._encode_device_core_onehot(
+                    z_sym, z_idx, *z_args, T=z_T, lanes=z_lanes, w_cap=z_wcap,
+                )
+            z_hat = jnp.round(zf - jnp.asarray(z_med)) + jnp.asarray(z_med)
+            hyper_out = net.apply(
+                p, z_hat.astype(cdt), method=net_cls.hyper_decode
+            )
+            indexes, means = self._indexes_and_means(hyper_out)
+            vals = y.astype(jnp.float32)
+            if uses_means:
+                vals = vals - means.astype(jnp.float32)
+            y_sym = jnp.round(vals).astype(jnp.int32).reshape(B, -1)
+            y_idx = indexes.reshape(B, -1)
+            y_out = vrans._encode_device_core_onehot(
+                y_sym, y_idx, y_enc_hi, y_enc_lo, y_T, y_lanes, y_wcap,
+            )
+            return z_out, y_out, z_sym, y_sym, y_idx
+
+        z_tab_args = (
+            (z_rt["start"], z_rt["freq"], z_rt["off"], z_rt["maxv"],
+             z_rt["k"]) if z_rowseq
+            else (z_tab.device_compact["enc_hi"],
+                  z_tab.device_compact["enc_lo"])
+        )
+        key = f"enc_fused_hp_{x_dev.shape}_{x_dev.dtype}_{y_lanes}_{z_lanes}"
+        z_out, y_out, z_sym, y_sym, y_idx = self._jitted(key, fused)(
+            {"params": self.params}, x_dev, y_ct["enc_hi"], y_ct["enc_lo"],
+            *z_tab_args,
+        )
+        y_handle = vrans.EncodeDeviceHandle.from_core_outputs(
+            y_out, y_sym, lambda: np.asarray(y_idx),
+            y_tab, n_y, y_lanes, y_wcap,
+        )
+        z_handle = vrans.EncodeDeviceHandle.from_core_outputs(
+            z_out, z_sym,
+            (None if z_rowseq else lambda: np.broadcast_to(
+                np.arange(N, dtype=np.int32), (B, hz, wz, N)
+            ).reshape(B, -1)),
+            z_tab, n_z, z_lanes, z_wcap,
+        )
+        if z_rowseq:
+            z_handle._flags = vrans._FLAG_STEPMAJOR
+            z_rows_dev = jnp.asarray(z_rows)
+            z_handle._retry = lambda: (
+                vrans._encode_device_core_rowseq(
+                    z_sym, z_rows_dev, *z_tab_args,
+                    T=z_T, lanes=z_lanes, w_cap=z_T + 2,
+                ),
+                z_T + 2,
+            )
+        shape = (hz, wz)
+
+        class _FusedHandle:
+            @staticmethod
+            def result():
+                return {
+                    "strings": [y_handle.result(), z_handle.result()],
+                    "shape": shape,
+                }
+
+        return _FusedHandle()
+
+    def _compress_async_split(self, x):
+        """Separate-dispatch tpu encode (non-compact tables, or sizes where
+        the fused path's spatial relations don't hold)."""
+        y_tab, z_tab = self.tables["y"], self.tables["z"]
         x = self._nhwc(x)
         encode = self._jitted(
-            "encode", lambda p, v: self.net.apply(p, v, method=self.net_cls.encode)
+            "encode",
+            lambda p, v: self.net.apply(p, v, method=self.net_cls.encode),
         )
         y, z = encode({"params": self.params}, x)
-
-        z_handle = eb_ops.compress_async(z, self._medians(), self.tables["z"])
+        z_handle = eb_ops.compress_async(z, self._medians(), z_tab)
         z_hat = self._z_hat_on_device(z)
         hyper = self._jitted(
             "hyper_decode",
-            lambda p, v: self.net.apply(p, v, method=self.net_cls.hyper_decode),
+            lambda p, v: self.net.apply(
+                p, v, method=self.net_cls.hyper_decode),
         )
         out = hyper({"params": self.params}, self._cast(z_hat))
         indexes, means = self._indexes_and_means(out)
-        y_handle = gc_ops.compress_async(y, indexes, self.tables["y"], means)
+        y_handle = gc_ops.compress_async(y, indexes, y_tab, means)
         shape = tuple(z.shape[1:3])
 
         class _Handle:
@@ -509,6 +653,105 @@ class ScaleHyperprior(CompressionModel):
     def decompress(self, strings, shape, *, sharding=None):
         assert isinstance(strings, list) and len(strings) == 2
         self._require_tables("y", "z")
+        y_tab, z_tab = self.tables["y"], self.tables["z"]
+        y_ct = y_tab.device_compact
+        if (
+            self.stream_format == "tpu" and sharding is None
+            and y_ct is not None
+        ):
+            # ONE fused jit: z decode + h_s + index building + y decode +
+            # dequantize + g_s (cf. compress_async)
+            from ..entropy import vrans
+
+            B = len(strings[0])
+            hz, wz = tuple(shape)
+            hy, wy = hz * 4, wz * 4
+            M, N = self.M, self._eb_channels()
+            n_y, n_z = hy * wy * M, hz * wz * N
+            if vrans._unpack_header_counts(strings[0][0])[0] != n_y:
+                # stream came from a non-x64-padded input (split encode
+                # path, y != 4*z spatially): decode with the split path too
+                return self._decompress_split(strings, shape)
+            y_prep = vrans.prepare_decode_blobs(strings[0], n_y)
+            z_prep = vrans.prepare_decode_blobs(strings[1], n_z)
+            z_med = self._medians()
+            cdt = self._compute_dtype
+            net, net_cls = self.net, self.net_cls
+            uses_means = self.uses_means
+            z_rowseq = z_prep["stepmajor"]
+            if z_rowseq:
+                z_rows = vrans.rowseq_schedule(N, hz * wz, z_prep["lanes"])
+                z_rt = z_tab.device_rowseq
+                z_tab_args = (z_rt["search"], z_rt["off"], z_rt["maxv"],
+                              z_rt["k"])
+            else:
+                z_ct = z_tab.device_compact
+                z_tab_args = (z_ct["dec_hi"], z_ct["dec_lo"])
+
+            def fused(p, yf, yc, yr, zf_, zc, zr, y_dec_hi, y_dec_lo,
+                      *z_args):
+                if z_rowseq:
+                    z_sym = vrans._decode_device_core_rowseq(
+                        zf_, zc, jnp.asarray(z_rows), zr, *z_args,
+                        T=z_prep["T"], lanes=z_prep["lanes"],
+                        max_w=z_prep["max_w"], has_raw=z_prep["has_raw"],
+                    )
+                    zp = (
+                        z_sym.astype(jnp.float32)
+                        + jnp.asarray(np.repeat(z_med, hz * wz))
+                    )
+                    z_hat = zp.reshape(B, N, hz, wz).transpose(0, 2, 3, 1)
+                else:
+                    z_idx = jnp.broadcast_to(
+                        jnp.arange(N, dtype=jnp.int32), (B, hz, wz, N)
+                    ).reshape(B, -1)
+                    z_sym = vrans._decode_device_core_onehot(
+                        zf_, zc, z_idx, zr, *z_args,
+                        T=z_prep["T"], lanes=z_prep["lanes"],
+                        max_w=z_prep["max_w"], has_raw=z_prep["has_raw"],
+                    )
+                    z_hat = (
+                        z_sym.reshape(B, hz, wz, N).astype(jnp.float32)
+                        + jnp.asarray(z_med)
+                    )
+                hyper_out = net.apply(
+                    p, z_hat.astype(cdt), method=net_cls.hyper_decode
+                )
+                indexes, means = self._indexes_and_means(hyper_out)
+                y_sym = vrans._decode_device_core_onehot(
+                    yf, yc, indexes.reshape(B, -1), yr, y_dec_hi, y_dec_lo,
+                    T=y_prep["T"], lanes=y_prep["lanes"],
+                    max_w=y_prep["max_w"], has_raw=y_prep["has_raw"],
+                )
+                y_hat = y_sym.reshape(B, hy, wy, M).astype(jnp.float32)
+                if uses_means:
+                    y_hat = y_hat + means.astype(jnp.float32)
+                return net.apply(
+                    p, y_hat.astype(cdt), method=net_cls.decode
+                )
+
+            key = (
+                f"dec_fused_hp_{B}_{hz}x{wz}_{y_prep['lanes']}_"
+                f"{y_prep['max_w']}_{y_prep['has_raw']}_"
+                f"{y_prep['raw'].shape}_{y_prep['stream_all'].shape}_"
+                f"{z_prep['lanes']}_{z_prep['max_w']}_{z_prep['has_raw']}_"
+                f"{z_prep['raw'].shape}_{z_prep['stream_all'].shape}_"
+                f"{z_rowseq}"
+            )
+            x_hat = self._jitted(key, fused)(
+                {"params": self.params},
+                jnp.asarray(y_prep["stream_all"]),
+                jnp.asarray(y_prep["counts_all"].astype(np.int32)),
+                jnp.asarray(y_prep["raw"]),
+                jnp.asarray(z_prep["stream_all"]),
+                jnp.asarray(z_prep["counts_all"].astype(np.int32)),
+                jnp.asarray(z_prep["raw"]),
+                y_ct["dec_hi"], y_ct["dec_lo"], *z_tab_args,
+            )
+            return {"x_hat": x_hat.astype(jnp.float32)}
+        return self._decompress_split(strings, shape, sharding=sharding)
+
+    def _decompress_split(self, strings, shape, sharding=None):
         z_hat = eb_ops.decompress(
             strings[1], tuple(shape), self._medians(), self.tables["z"],
             fmt=self.stream_format, sharding=sharding,

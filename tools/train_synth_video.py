@@ -185,14 +185,15 @@ def main(argv=None):
     model.stream_format = "tpu"
     frames = [np.asarray(eval_np[:2, t]) for t in range(3)]
     strings, shapes = model.compress(frames)
-    nbytes = sum(
-        len(s)
-        for fr in strings
-        for ss in (fr.values() if isinstance(fr, dict) else [fr])
-        for group in (ss if isinstance(ss, list) else [ss])
-        for s in (group if isinstance(group, list) else [group])
-    )
-    bpp = nbytes * 8 / (2 * 3 * args.patch * args.patch)
+
+    def _count(obj):
+        if isinstance(obj, dict):
+            return sum(_count(v) for v in obj.values())
+        if isinstance(obj, (list, tuple)):
+            return sum(_count(v) for v in obj)
+        return len(obj)
+
+    bpp = _count(strings) * 8 / (2 * 3 * args.patch * args.patch)
     print(f"coded bpp on held-out GOP: {bpp:.4f}", flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
