@@ -330,7 +330,14 @@ def _zoo_ssf(x, h, w):
         ssf.update(force=True)
         ckname = "random-init"
     ssf.stream_format = "tpu"
-    frames = [x[i : i + 1].astype(np.float32) / 255.0 for i in range(3)]
+    # temporally-correlated GOP from the checkpoint's content family —
+    # independent random images would make the motion branch escape-heavy
+    # and the operating point meaningless (round-3 weak #5)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from train_synth_video import synth_triplet_batch
+
+    gop = synth_triplet_batch(4321, 1, h, w)  # (1, 3, h, w, 3)
+    frames = [gop[:, t] for t in range(3)]
     enc_t, dec_t, c = _timed_roundtrip(
         lambda: ssf.compress(frames),
         lambda c: ssf.decompress(c[0], c[1])[-1],

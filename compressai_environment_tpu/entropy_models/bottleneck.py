@@ -231,7 +231,7 @@ def _single_device(x) -> bool:
     return sh is None or len(sh.device_set) <= 1
 
 
-def compress_async(x, medians: np.ndarray, tables: CdfTables):
+def compress_async(x, medians: np.ndarray, tables: CdfTables, lanes=None):
     """Two-phase "tpu"-format encode: dispatches all device work and returns
     a handle; ``handle.result()`` fetches + packs blobs. Lets callers overlap
     one chunk's D2H with the next chunk's compute.
@@ -240,18 +240,21 @@ def compress_async(x, medians: np.ndarray, tables: CdfTables):
     row-sequential step-major path (planar layout, per-step constant CDF
     row — no one-hot select work at all, ``vrans._encode_device_core_rowseq``);
     mesh-sharded inputs keep the lane-blocked layout, which partitions over
-    the batch axis."""
+    the batch axis. An explicit ``lanes`` override (speed-biased callers,
+    e.g. the single-image video GOP loop) forces the lane-blocked layout
+    with that count — the decoder reads the lane count from the blob, so no
+    receiver coordination is needed."""
     from ..entropy import vrans
 
     x = jnp.asarray(x)
     b, c = x.shape[0], x.shape[-1]
     n = int(np.prod(x.shape[1:]))
     hw = n // c
-    lanes = vrans.rowseq_lanes(n, hw)
-    if (
-        lanes is not None and _single_device(x)
+    if lanes is None and (
+        vrans.rowseq_lanes(n, hw) is not None and _single_device(x)
         and tables.device_rowseq is not None
     ):
+        lanes = vrans.rowseq_lanes(n, hw)
         xp = jnp.moveaxis(x, -1, 1).reshape(b, -1)  # planar (channel-major)
         med_rep = jnp.repeat(jnp.asarray(medians, jnp.float32), hw)
         symbols = jnp.round(xp.astype(jnp.float32) - med_rep).astype(jnp.int32)
@@ -262,7 +265,7 @@ def compress_async(x, medians: np.ndarray, tables: CdfTables):
     indexes = jnp.broadcast_to(
         jnp.arange(c, dtype=jnp.int32), x.shape
     ).reshape(b, -1)
-    return vrans.EncodeDeviceHandle(symbols, indexes, tables)
+    return vrans.EncodeDeviceHandle(symbols, indexes, tables, lanes)
 
 
 def decompress(strings, spatial_shape, medians: np.ndarray, tables: CdfTables,

@@ -181,9 +181,11 @@ def compress(inputs, indexes, tables: CdfTables, means=None, fmt: str = "rans"):
     return compress_symbols(symbols, idx, tables)
 
 
-def compress_async(inputs, indexes, tables: CdfTables, means=None):
+def compress_async(inputs, indexes, tables: CdfTables, means=None,
+                   lanes=None):
     """Two-phase "tpu"-format encode (cf. ``bottleneck.compress_async``):
-    dispatch now, fetch blobs via ``handle.result()``."""
+    dispatch now, fetch blobs via ``handle.result()``. ``lanes`` overrides
+    the default (speed-biased callers; the blob self-describes it)."""
     from ..entropy import vrans
 
     inputs = jnp.asarray(inputs)
@@ -191,7 +193,7 @@ def compress_async(inputs, indexes, tables: CdfTables, means=None):
     values = inputs - jnp.asarray(means) if means is not None else inputs
     symbols = jnp.round(values).astype(jnp.int32).reshape(b, -1)
     idx = jnp.asarray(indexes).reshape(b, -1)
-    return vrans.EncodeDeviceHandle(symbols, idx, tables)
+    return vrans.EncodeDeviceHandle(symbols, idx, tables, lanes)
 
 
 def decompress(strings, indexes, tables: CdfTables, means=None,
