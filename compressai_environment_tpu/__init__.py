@@ -23,6 +23,17 @@ _available_entropy_coders = ["ans", "tpu"]
 #: coder registry name -> CompressionModel.stream_format value
 coder_stream_formats = {"ans": "rans", "tpu": "tpu"}
 
+# optional range_coder backend, auto-registered when the package is
+# importable — mirrors the reference (compressai/__init__.py:40-45); the
+# models treat it as a host single-stream coder like "ans"
+try:  # pragma: no cover - exercised only where range_coder is installed
+    import range_coder  # noqa: F401
+
+    _available_entropy_coders.append("rangecoder")
+    coder_stream_formats["rangecoder"] = "rans"
+except ImportError:
+    pass
+
 
 def set_entropy_coder(entropy_coder: str) -> None:
     """Specify the default entropy coder used to encode the bit-streams."""
