@@ -519,11 +519,411 @@ class ScaleSpaceFlow(CompressionModel):
         y_hat = gc_ops.decompress(strings[0], indexes, y_tab, means, fmt=fmt)
         return jnp.asarray(y_hat)
 
+    # -- fused GOP codec ("tpu" format) ------------------------------------
+    #
+    # The split GOP loop above dispatches every eager op (concatenate,
+    # round, build_indexes, ...) as its own device RPC — ~30 tunnel round
+    # trips per GOP (docs/performance.md, round 4). The fused path runs the
+    # ENTIRE GOP encode as ONE jit: keyframe coding + a lax.scan over the
+    # inter frames whose step inlines motion/residual transforms, the
+    # prediction warp and all four entropy-encode cores. Stream fetches
+    # happen once at the end (6 handles total). Decode mirrors it.
+
+    def _fused_ready(self, frames) -> bool:
+        if self.stream_format != "tpu":
+            return False
+        for br in self._BRANCHES:
+            yt = self.tables.get(f"{br}_y")
+            zt = self.tables.get(f"{br}_z")
+            if (
+                yt is None or zt is None
+                or yt.device_compact is None or zt.device_compact is None
+            ):
+                return False
+        shp = tuple(np.shape(frames[0]))
+        if len(shp) != 4 or shp[3] != 3 or shp[1] % 128 or shp[2] % 128:
+            return False
+        for f in frames:
+            if tuple(np.shape(f)) != shp:
+                return False
+            sh = getattr(f, "sharding", None)
+            if sh is not None and len(sh.device_set) > 1:
+                return False
+        return True
+
+    def _fused_ready_dec(self, strings, shapes) -> bool:
+        from ...entropy import vrans
+
+        if self.stream_format != "tpu":
+            return False
+        for br in self._BRANCHES:
+            yt = self.tables.get(f"{br}_y")
+            zt = self.tables.get(f"{br}_z")
+            if (
+                yt is None or zt is None
+                or yt.device_compact is None or zt.device_compact is None
+            ):
+                return False
+        shp0 = tuple(int(s) for s in shapes[0])
+        if len(shp0) != 2:
+            return False
+        for s in shapes[1:]:
+            if not isinstance(s, dict) or any(
+                tuple(int(v) for v in s[k]) != shp0
+                for k in ("motion", "residual")
+            ):
+                return False
+        if not (isinstance(strings[0], (list, tuple)) and len(strings[0]) == 2
+                and isinstance(strings[0][0], (list, tuple, np.ndarray))):
+            return False
+        B = len(strings[0][0])
+        for s in strings[1:]:
+            if not isinstance(s, dict):
+                return False
+            for k in ("motion", "residual"):
+                if len(s[k][0]) != B or len(s[k][1]) != B:
+                    return False
+        g = self._fused_geometry(shp0[0] * 128, shp0[1] * 128)
+        try:
+            n, _, _, _, _, flags = vrans._unpack_header_counts(
+                strings[0][0][0]
+            )
+        except Exception:
+            return False
+        return n == g["n_y"] and not (flags & vrans._FLAG_STEPMAJOR)
+
+    @staticmethod
+    def _fused_geometry(H: int, W: int):
+        from ...entropy import vrans
+
+        C = 192
+        hy, wy, hz, wz = H // 16, W // 16, H // 128, W // 128
+        n_y, n_z = hy * wy * C, hz * wz * C
+        y_lanes, z_lanes = vrans.pick_lanes(n_y), vrans.pick_lanes(n_z)
+        y_T, z_T = -(-n_y // y_lanes), -(-n_z // z_lanes)
+        return {
+            "C": C, "hy": hy, "wy": wy, "hz": hz, "wz": wz,
+            "n_y": n_y, "n_z": n_z,
+            "y_lanes": y_lanes, "z_lanes": z_lanes, "y_T": y_T, "z_T": z_T,
+            "y_wcap": min(max(8, (y_T * 10) // 16 + 4), y_T + 2),
+            "z_wcap": min(max(8, (z_T * 10) // 16 + 4), z_T + 2),
+        }
+
+    _FUSED_ORDER = ("img", "motion", "res")
+
+    def _branch_coding_args(self, kind: str):
+        """(tables, medians) per branch in ``_FUSED_ORDER`` —
+        kind is "enc" or "dec"."""
+        meds = [jnp.asarray(self._eb_medians(br)) for br in self._FUSED_ORDER]
+        tabs = []
+        for br in self._FUSED_ORDER:
+            yc = self.tables[f"{br}_y"].device_compact
+            zc = self.tables[f"{br}_z"].device_compact
+            tabs.append((yc[f"{kind}_hi"], yc[f"{kind}_lo"],
+                         zc[f"{kind}_hi"], zc[f"{kind}_lo"]))
+        return tabs, meds
+
+    def _compress_fused(self, frames):
+        from ...entropy import vrans
+
+        xs = jnp.stack([jnp.asarray(f, jnp.float32) for f in frames])
+        F, B, H, W = (int(s) for s in xs.shape[:4])
+        g = self._fused_geometry(H, W)
+        C, hz, wz = g["C"], g["hz"], g["wz"]
+        net = self.net
+        tabs, meds = self._branch_coding_args("enc")
+        stab = jnp.asarray(self.scale_table)
+        F1 = F - 1
+
+        def fused(p, xs, t_img, t_motion, t_res, med_img, med_motion,
+                  med_res, stab):
+            def run(name, *a):
+                return net.apply(p, name, *a, method=ScaleSpaceFlowNet.run)
+
+            z_idx = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32), (B, hz, wz, C)
+            ).reshape(B, -1)
+
+            def code_branch(br, y, med, brt):
+                y_hi, y_lo, z_hi, z_lo = brt
+                z = run(f"{br}_hyper_encode_z", y)
+                z_sym = jnp.round(
+                    z.astype(jnp.float32) - med
+                ).astype(jnp.int32)
+                z_out = vrans._encode_device_core_onehot(
+                    z_sym.reshape(B, -1), z_idx, z_hi, z_lo,
+                    g["z_T"], g["z_lanes"], g["z_wcap"],
+                )
+                z_hat = z_sym.astype(jnp.float32) + med
+                scales, means = run(f"{br}_hyper_params", z_hat)
+                indexes = build_indexes(scales, stab)
+                y_sym = jnp.round(
+                    y.astype(jnp.float32) - means
+                ).astype(jnp.int32)
+                y_out = vrans._encode_device_core_onehot(
+                    y_sym.reshape(B, -1), indexes.reshape(B, -1), y_hi, y_lo,
+                    g["y_T"], g["y_lanes"], g["y_wcap"],
+                )
+                y_hat = y_sym.astype(jnp.float32) + means
+                outs = (y_out, z_out, y_sym.reshape(B, -1),
+                        z_sym.reshape(B, -1), indexes.reshape(B, -1))
+                return y_hat, outs
+
+            y0 = run("img_encoder", xs[0])
+            y0_hat, kf = code_branch("img", y0, med_img, t_img)
+            x_ref = run("img_decoder", y0_hat)
+            if F1 == 0:
+                return kf, None, None
+
+            def step(x_ref, x_cur):
+                xcat = jnp.concatenate((x_cur, x_ref), axis=-1)
+                ym = run("motion_encoder", xcat)
+                ym_hat, m_out = code_branch("motion", ym, med_motion, t_motion)
+                motion_info = run("motion_decoder", ym_hat)
+                x_pred = net.apply(
+                    p, x_ref, motion_info, method=ScaleSpaceFlowNet.predict
+                )
+                x_res = x_cur - x_pred
+                yr = run("res_encoder", x_res)
+                yr_hat, r_out = code_branch("res", yr, med_res, t_res)
+                y_combine = jnp.concatenate((yr_hat, ym_hat), axis=-1)
+                x_rec = x_pred + run("res_decoder", y_combine)
+                return x_rec, (m_out, r_out)
+
+            _, (m_outs, r_outs) = jax.lax.scan(step, x_ref, xs[1:])
+
+            def flat(outs, w_cap):
+                (packed, counts, ovf, esc, raw, rawc), ys, zs, yi = (
+                    outs[0], outs[2], outs[3], outs[4]
+                )
+                core = (
+                    packed.transpose(1, 0, 2).reshape(w_cap, -1),
+                    counts.reshape(-1), jnp.any(ovf),
+                    esc.reshape(F1 * B, -1), raw.reshape(F1 * B, -1),
+                    rawc.reshape(-1),
+                )
+                return core, ys.reshape(F1 * B, -1), yi.reshape(F1 * B, -1)
+
+            def flat_z(outs, w_cap):
+                packed, counts, ovf, esc, raw, rawc = outs[1]
+                core = (
+                    packed.transpose(1, 0, 2).reshape(w_cap, -1),
+                    counts.reshape(-1), jnp.any(ovf),
+                    esc.reshape(F1 * B, -1), raw.reshape(F1 * B, -1),
+                    rawc.reshape(-1),
+                )
+                return core, outs[3].reshape(F1 * B, -1)
+
+            m_y = flat(m_outs, g["y_wcap"])
+            m_z = flat_z(m_outs, g["z_wcap"])
+            r_y = flat(r_outs, g["y_wcap"])
+            r_z = flat_z(r_outs, g["z_wcap"])
+            return kf, (m_y, m_z), (r_y, r_z)
+
+        key = f"ssf_enc_fused_{F}_{B}_{H}x{W}"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fused)
+        kf, m, r = self._jit_cache[key](
+            {"params": self.params}, xs, *tabs, *meds, stab
+        )
+
+        def z_idx_host(nb):
+            return lambda: np.broadcast_to(
+                np.arange(C, dtype=np.int32), (nb, hz, wz, C)
+            ).reshape(nb, -1)
+
+        def mk(core, sym, idx_fn, tab, n, lanes, w_cap):
+            return vrans.EncodeDeviceHandle.from_core_outputs(
+                core, sym, idx_fn, tab, n, lanes, w_cap
+            )
+
+        def mk_pair(br, y_core, y_sym, y_idx, z_core, z_sym, nb):
+            yh = mk(
+                y_core, y_sym, (lambda a=y_idx: np.asarray(a)),
+                self.tables[f"{br}_y"], g["n_y"], g["y_lanes"], g["y_wcap"],
+            )
+            zh = mk(
+                z_core, z_sym, z_idx_host(nb),
+                self.tables[f"{br}_z"], g["n_z"], g["z_lanes"], g["z_wcap"],
+            )
+            return yh, zh
+
+        kf_yh, kf_zh = mk_pair("img", kf[0], kf[2], kf[4], kf[1], kf[3], B)
+        handles = []
+        if F1:
+            (m_y, m_z), (r_y, r_z) = m, r
+            my_h, mz_h = mk_pair(
+                "motion", m_y[0], m_y[1], m_y[2], m_z[0], m_z[1], F1 * B
+            )
+            ry_h, rz_h = mk_pair(
+                "res", r_y[0], r_y[1], r_y[2], r_z[0], r_z[1], F1 * B
+            )
+            handles = [my_h, mz_h, ry_h, rz_h]
+
+        frame_strings = [[kf_yh.result(), kf_zh.result()]]
+        shape_infos = [(hz, wz)]
+        if F1:
+            my, mz, ry, rz = (h.result() for h in handles)
+            for j in range(F1):
+                sl = slice(j * B, (j + 1) * B)
+                frame_strings.append(
+                    {"motion": [my[sl], mz[sl]], "residual": [ry[sl], rz[sl]]}
+                )
+                shape_infos.append(
+                    {"motion": (hz, wz), "residual": (hz, wz)}
+                )
+        return frame_strings, shape_infos
+
+    def _decompress_fused(self, strings, shapes):
+        from ...entropy import vrans
+
+        hz, wz = (int(s) for s in shapes[0])
+        g = self._fused_geometry(hz * 128, wz * 128)
+        C, hy, wy = g["C"], g["hy"], g["wy"]
+        F = len(strings)
+        F1 = F - 1
+        B = len(strings[0][0])
+
+        def prep_one(blobs, n):
+            return vrans.prepare_decode_blobs(blobs, n)
+
+        def prep_frames(blob_lists, n):
+            preps = [prep_one(bl, n) for bl in blob_lists]
+            lanes = preps[0]["lanes"]
+            if any(p["lanes"] != lanes or p["stepmajor"] for p in preps):
+                return None
+            max_w = max(p["max_w"] for p in preps)
+            cap = max(p["stream_all"].size for p in preps)
+            rcap = max(p["raw"].shape[1] for p in preps)
+            nf = len(preps)
+            stream = np.zeros((nf, cap), np.uint16)
+            counts = np.zeros((nf, B * lanes), np.int32)
+            raw = np.zeros((nf, B, rcap), np.uint32)
+            for j, p in enumerate(preps):
+                stream[j, : p["stream_all"].size] = p["stream_all"]
+                counts[j] = p["counts_all"]
+                raw[j, :, : p["raw"].shape[1]] = p["raw"]
+            return {
+                "stream": stream, "counts": counts, "raw": raw,
+                "lanes": lanes, "T": preps[0]["T"], "max_w": max_w,
+                "has_raw": any(p["has_raw"] for p in preps),
+            }
+
+        kf_y = prep_frames([strings[0][0]], g["n_y"])
+        kf_z = prep_frames([strings[0][1]], g["n_z"])
+        inter = {}
+        if F1:
+            for kind, n in (("y", g["n_y"]), ("z", g["n_z"])):
+                for br, srckey in (("motion", "motion"), ("res", "residual")):
+                    idx = 0 if kind == "y" else 1
+                    inter[f"{br}_{kind}"] = prep_frames(
+                        [strings[i][srckey][idx] for i in range(1, F)], n
+                    )
+        preps = [kf_y, kf_z] + list(inter.values())
+        if any(p is None for p in preps):
+            return None
+
+        net = self.net
+        tabs, meds = self._branch_coding_args("dec")
+        stab = jnp.asarray(self.scale_table)
+
+        def spec(p):
+            return (p["lanes"], p["T"], p["max_w"], p["has_raw"],
+                    p["stream"].shape, p["raw"].shape)
+
+        specs = {
+            "kf_y": spec(kf_y), "kf_z": spec(kf_z),
+            **{k: spec(v) for k, v in inter.items()},
+        }
+
+        def fused(p, kf_y_a, kf_z_a, inter_a, t_img, t_motion, t_res,
+                  med_img, med_motion, med_res, stab):
+            def run(name, *a):
+                return net.apply(p, name, *a, method=ScaleSpaceFlowNet.run)
+
+            z_idx = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32), (B, hz, wz, C)
+            ).reshape(B, -1)
+
+            def dec_branch(br, y_a, y_spec, z_a, z_spec, med, brt):
+                y_hi, y_lo, z_hi, z_lo = brt
+                zl, zT, zmw, zhr = z_spec[:4]
+                z_sym = vrans._decode_device_core_onehot(
+                    z_a[0], z_a[1], z_idx, z_a[2], z_hi, z_lo,
+                    T=zT, lanes=zl, max_w=zmw, has_raw=zhr,
+                )
+                z_hat = (
+                    z_sym.reshape(B, hz, wz, C).astype(jnp.float32) + med
+                )
+                scales, means = run(f"{br}_hyper_params", z_hat)
+                indexes = build_indexes(scales, stab)
+                yl, yT, ymw, yhr = y_spec[:4]
+                y_sym = vrans._decode_device_core_onehot(
+                    y_a[0], y_a[1], indexes.reshape(B, -1), y_a[2],
+                    y_hi, y_lo, T=yT, lanes=yl, max_w=ymw, has_raw=yhr,
+                )
+                return (
+                    y_sym.reshape(B, hy, wy, C).astype(jnp.float32) + means
+                )
+
+            y0_hat = dec_branch(
+                "img", (kf_y_a[0][0], kf_y_a[1][0], kf_y_a[2][0]),
+                specs["kf_y"], (kf_z_a[0][0], kf_z_a[1][0], kf_z_a[2][0]),
+                specs["kf_z"], med_img, t_img,
+            )
+            x_ref = run("img_decoder", y0_hat)
+            if F1 == 0:
+                return x_ref, None
+
+            def step(x_ref, xs_in):
+                my_a, mz_a, ry_a, rz_a = xs_in
+                ym_hat = dec_branch(
+                    "motion", my_a, specs["motion_y"], mz_a,
+                    specs["motion_z"], med_motion, t_motion,
+                )
+                motion_info = run("motion_decoder", ym_hat)
+                x_pred = net.apply(
+                    p, x_ref, motion_info, method=ScaleSpaceFlowNet.predict
+                )
+                yr_hat = dec_branch(
+                    "res", ry_a, specs["res_y"], rz_a, specs["res_z"],
+                    med_res, t_res,
+                )
+                y_combine = jnp.concatenate((yr_hat, ym_hat), axis=-1)
+                x_rec = x_pred + run("res_decoder", y_combine)
+                return x_rec, x_rec
+
+            _, recs = jax.lax.scan(step, x_ref, inter_a)
+            return x_ref, recs
+
+        key = f"ssf_dec_fused_{F}_{B}_{hz}x{wz}_{sorted(specs.items())}"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fused)
+
+        def args(p):
+            return (jnp.asarray(p["stream"]), jnp.asarray(p["counts"]),
+                    jnp.asarray(p["raw"]))
+
+        x0, recs = self._jit_cache[key](
+            {"params": self.params}, args(kf_y), args(kf_z),
+            tuple(
+                args(inter[k])
+                for k in ("motion_y", "motion_z", "res_y", "res_z")
+            ) if F1 else (),
+            *tabs, *meds, stab,
+        )
+        frames = [x0]
+        if F1:
+            frames += [recs[j] for j in range(F1)]
+        return frames
+
     # -- codec surface ----------------------------------------------------
     def compress(self, frames):
         if not isinstance(frames, (list, tuple)):
             raise RuntimeError(f"Invalid number of frames: {len(frames)}.")
         self._require_ssf_tables()
+        if self._fused_ready(frames):
+            return self._compress_fused(frames)
         defer = self.stream_format == "tpu"
         frame_strings, shape_infos, pending = [], [], []
 
@@ -581,6 +981,10 @@ class ScaleSpaceFlow(CompressionModel):
                 f"Number of information should match {len(strings)} != {len(shapes)}."
             )
         self._require_ssf_tables()
+        if self._fused_ready_dec(strings, shapes):
+            out = self._decompress_fused(strings, shapes)
+            if out is not None:
+                return out
 
         y_hat = self._hyper_decompress("img", strings[0], shapes[0])
         x_ref = self._run("img_decoder", y_hat)

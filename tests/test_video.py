@@ -97,3 +97,40 @@ class TestSSF:
         dec2 = ssf.decompress(strings, shapes)
         for a, b in zip(dec, dec2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fused_gop_codec_matches_split(self, ssf, frames):
+        """The single-dispatch fused GOP codec ("tpu" format: keyframe +
+        lax.scan over inter frames with the entropy cores inlined) must
+        produce byte-identical streams and identical reconstructions to
+        the split per-op path it replaces."""
+        ssf.update(force=True)
+        old_fmt = ssf.stream_format
+        ssf.stream_format = "tpu"
+        try:
+            assert ssf._fused_ready(frames)
+            s_f, sh_f = ssf.compress(frames)
+            orig = ssf._fused_ready
+            ssf._fused_ready = lambda fr: False
+            try:
+                s_s, sh_s = ssf.compress(frames)
+            finally:
+                ssf._fused_ready = orig
+            assert s_f[0][0] == s_s[0][0] and s_f[0][1] == s_s[0][1]
+            for i in (1, 2):
+                for k in ("motion", "residual"):
+                    assert s_f[i][k][0] == s_s[i][k][0]
+                    assert s_f[i][k][1] == s_s[i][k][1]
+            assert sh_f == sh_s
+
+            assert ssf._fused_ready_dec(s_f, sh_f)
+            dec_fused = ssf.decompress(s_f, sh_f)
+            orig_dec = ssf._fused_ready_dec
+            ssf._fused_ready_dec = lambda *a: False
+            try:
+                dec_split = ssf.decompress(s_f, sh_f)
+            finally:
+                ssf._fused_ready_dec = orig_dec
+            for a, b in zip(dec_fused, dec_split):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        finally:
+            ssf.stream_format = old_fmt
