@@ -39,6 +39,31 @@ class CompressionModel:
         # transform compute dtype; half() switches to bfloat16
         self._compute_dtype = jnp.float32
 
+    # -- parameter residency ----------------------------------------------
+    # ``params`` is a lazy device-resident pytree: the first read after any
+    # assignment uploads the whole tree with ONE ``jax.device_put``. Without
+    # this, every jitted dispatch re-uploads the full weight set from host
+    # numpy (~3 MB for the flagship g_a — ~36 ms on the ~80 MB/s dev
+    # tunnel, which round 4 misread as "4-6% transform MFU"; the chip-side
+    # g_a is ~11 ms). Host-side consumers (CDF baking, medians) still read
+    # through np.asarray; small frequently-read values are cached in
+    # ``_host_cache`` so codec calls don't pay a per-call D2H round trip.
+    @property
+    def params(self):
+        if self._params is not None and not self._params_on_device:
+            try:
+                self._params = jax.device_put(self._params)
+            except Exception:  # pragma: no cover - no backend available
+                pass
+            self._params_on_device = True
+        return self._params
+
+    @params.setter
+    def params(self, tree):
+        self._params = tree
+        self._params_on_device = False
+        self._host_cache: Dict[str, Any] = {}
+
     # -- lifecycle ---------------------------------------------------------
     def init(self, key=None, input_shape=(1, 256, 256, 3)):
         """Initialize parameters with random weights."""

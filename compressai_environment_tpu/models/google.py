@@ -96,9 +96,13 @@ class FactorizedPrior(CompressionModel):
         return True
 
     def _medians(self) -> np.ndarray:
-        return np.asarray(
-            self.params["entropy_bottleneck"]["quantiles"], np.float32
-        )[:, 0, 1]
+        m = self._host_cache.get("medians")
+        if m is None:
+            m = np.asarray(
+                self.params["entropy_bottleneck"]["quantiles"], np.float32
+            )[:, 0, 1]
+            self._host_cache["medians"] = m
+        return m
 
     def compress(self, x):
         self._require_tables("y")
@@ -409,9 +413,13 @@ class ScaleHyperprior(CompressionModel):
         return self.N
 
     def _medians(self) -> np.ndarray:
-        return np.asarray(
-            self.params["entropy_bottleneck"]["quantiles"], np.float32
-        )[:, 0, 1]
+        m = self._host_cache.get("medians")
+        if m is None:
+            m = np.asarray(
+                self.params["entropy_bottleneck"]["quantiles"], np.float32
+            )[:, 0, 1]
+            self._host_cache["medians"] = m
+        return m
 
     def update(self, scale_table=None, force: bool = False) -> bool:
         updated = False

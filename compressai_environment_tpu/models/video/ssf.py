@@ -445,8 +445,14 @@ class ScaleSpaceFlow(CompressionModel):
         return self._jit_cache["predict"]({"params": self.params}, x_ref, motion_info)
 
     def _eb_medians(self, branch) -> np.ndarray:
-        q = self.params[f"{branch}_hyperprior"]["entropy_bottleneck"]["quantiles"]
-        return np.asarray(q, np.float32)[:, 0, 1]
+        m = self._host_cache.get(f"medians_{branch}")
+        if m is None:
+            q = self.params[f"{branch}_hyperprior"]["entropy_bottleneck"][
+                "quantiles"
+            ]
+            m = np.asarray(q, np.float32)[:, 0, 1]
+            self._host_cache[f"medians_{branch}"] = m
+        return m
 
     def _hyper_compress(self, branch, y, defer: bool = False):
         """Two-stage hyperprior coding with STE-consistent reconstruction
