@@ -17,22 +17,18 @@ __version__ = "0.1.0"
 
 _entropy_coder = "ans"
 # "ans": reference-bit-exact host rANS (stream_format "rans");
-# "tpu": on-chip interleaved-lane rANS (stream_format "tpu")
-_available_entropy_coders = ["ans", "tpu"]
+# "tpu": on-chip interleaved-lane rANS (stream_format "tpu");
+# "rangecoder": host Subbotin range coder (stream_format "range") — the
+#   reference registers this name when the ``range_coder`` pip package
+#   imports (compressai/__init__.py:40-45), but its proxy then calls
+#   ``encode_with_indexes`` on that package's objects, a method they do not
+#   define (entropy_models.py:67-87) — so there is no reference rangecoder
+#   bitstream to match. Ours is a real, self-consistent range-coder format
+#   (entropy/range_coder_impl.py) with no external dependency.
+_available_entropy_coders = ["ans", "tpu", "rangecoder"]
 
 #: coder registry name -> CompressionModel.stream_format value
-coder_stream_formats = {"ans": "rans", "tpu": "tpu"}
-
-# optional range_coder backend, auto-registered when the package is
-# importable — mirrors the reference (compressai/__init__.py:40-45); the
-# models treat it as a host single-stream coder like "ans"
-try:  # pragma: no cover - exercised only where range_coder is installed
-    import range_coder  # noqa: F401
-
-    _available_entropy_coders.append("rangecoder")
-    coder_stream_formats["rangecoder"] = "rans"
-except ImportError:
-    pass
+coder_stream_formats = {"ans": "rans", "tpu": "tpu", "rangecoder": "range"}
 
 
 def set_entropy_coder(entropy_coder: str) -> None:

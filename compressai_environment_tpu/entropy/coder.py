@@ -50,14 +50,25 @@ def _encode_cap(n: int) -> int:
     return max(4096, 8 * int(n) + 64)
 
 
-def encode_with_indexes(symbols, indexes, cdfs, cdfs_sizes, offsets) -> bytes:
-    """Encode one stream. Arrays may be any shape; flattened in C order."""
+def encode_with_indexes(symbols, indexes, cdfs, cdfs_sizes, offsets,
+                        backend: str = "rans") -> bytes:
+    """Encode one stream. Arrays may be any shape; flattened in C order.
+
+    ``backend``: "rans" (reference-bit-exact rANS) or "range" (the optional
+    Subbotin range-coder stream format, ``range_coder_impl.py``)."""
     symbols = _as_i32(symbols)
     indexes = _as_i32(indexes)
     cdfs = _as_cdf_matrix(cdfs)
     cdfs_sizes = _as_i32(cdfs_sizes)
     offsets = _as_i32(offsets)
     n = symbols.size
+
+    if backend == "range":
+        from .range_coder_impl import RangeEncoder
+
+        enc = RangeEncoder()
+        enc.encode_with_indexes(symbols, indexes, cdfs, cdfs_sizes, offsets)
+        return enc.flush()
 
     lib = load_native()
     if lib is not None:
@@ -77,12 +88,20 @@ def encode_with_indexes(symbols, indexes, cdfs, cdfs_sizes, offsets) -> bytes:
     )
 
 
-def decode_with_indexes(string: bytes, indexes, cdfs, cdfs_sizes, offsets) -> np.ndarray:
+def decode_with_indexes(string: bytes, indexes, cdfs, cdfs_sizes, offsets,
+                        backend: str = "rans") -> np.ndarray:
     indexes = _as_i32(indexes)
     cdfs = _as_cdf_matrix(cdfs)
     cdfs_sizes = _as_i32(cdfs_sizes)
     offsets = _as_i32(offsets)
     n = indexes.size
+
+    if backend == "range":
+        from .range_coder_impl import RangeDecoder
+
+        return RangeDecoder(string).decode_stream(
+            indexes, cdfs, cdfs_sizes, offsets
+        )
 
     lib = load_native()
     if lib is not None:
@@ -101,7 +120,8 @@ def decode_with_indexes(string: bytes, indexes, cdfs, cdfs_sizes, offsets) -> np
     )
 
 
-def encode_batch(symbols, indexes, cdfs, cdfs_sizes, offsets) -> list:
+def encode_batch(symbols, indexes, cdfs, cdfs_sizes, offsets,
+                 backend: str = "rans") -> list:
     """Encode ``batch`` independent streams. symbols/indexes: (batch, n).
 
     Returns a list of ``bytes``. Uses all CPU cores via OpenMP when the
@@ -115,6 +135,13 @@ def encode_batch(symbols, indexes, cdfs, cdfs_sizes, offsets) -> list:
     cdfs_sizes = _as_i32(cdfs_sizes)
     offsets = _as_i32(offsets)
     batch, n = symbols.shape
+
+    if backend == "range":
+        return [
+            encode_with_indexes(symbols[b], indexes[b], cdfs, cdfs_sizes,
+                                offsets, backend="range")
+            for b in range(batch)
+        ]
 
     lib = load_native()
     if lib is not None and batch > 0:
@@ -137,7 +164,8 @@ def encode_batch(symbols, indexes, cdfs, cdfs_sizes, offsets) -> list:
     ]
 
 
-def decode_batch(strings, indexes, cdfs, cdfs_sizes, offsets) -> np.ndarray:
+def decode_batch(strings, indexes, cdfs, cdfs_sizes, offsets,
+                 backend: str = "rans") -> np.ndarray:
     """Decode ``len(strings)`` independent streams; indexes: (batch, n)."""
     indexes = np.ascontiguousarray(np.asarray(indexes), dtype=np.int32)
     if indexes.ndim != 2 or len(strings) != indexes.shape[0]:
@@ -146,6 +174,13 @@ def decode_batch(strings, indexes, cdfs, cdfs_sizes, offsets) -> np.ndarray:
     cdfs_sizes = _as_i32(cdfs_sizes)
     offsets = _as_i32(offsets)
     batch, n = indexes.shape
+
+    if backend == "range":
+        return np.stack([
+            decode_with_indexes(s, indexes[b], cdfs, cdfs_sizes, offsets,
+                                backend="range")
+            for b, s in enumerate(strings)
+        ]) if batch else np.empty((0, n), dtype=np.int32)
 
     lib = load_native()
     if lib is not None and batch > 0:
@@ -234,9 +269,21 @@ class BufferedEncoder:
 
 class StreamDecoder:
     """Incremental decoder with persistent state (reference
-    ``RansDecoder.set_stream``/``decode_stream`` semantics)."""
+    ``RansDecoder.set_stream``/``decode_stream`` semantics).
 
-    def __init__(self, string: bytes | None = None):
+    ``backend="range"`` reads the Subbotin range-coder stream format
+    instead (``range_coder_impl.py``); same incremental surface."""
+
+    def __init__(self, string: bytes | None = None, backend: str = "rans"):
+        if backend == "range":
+            from .range_coder_impl import RangeDecoder
+
+            self._lib = None
+            self._handle = None
+            self._py = RangeDecoder()
+            if string is not None:
+                self.set_stream(string)
+            return
         self._lib = load_native()
         self._handle = None
         if self._lib is None:

@@ -233,10 +233,12 @@ class CdfTables:
             raise ValueError("Uninitialized offsets. Run update() first")
 
 
-def compress_symbols(symbols: np.ndarray, indexes: np.ndarray, tables: CdfTables):
+def compress_symbols(symbols: np.ndarray, indexes: np.ndarray, tables: CdfTables,
+                     backend: str = "rans"):
     """Encode per-batch-element symbol planes to a list of byte strings.
 
     symbols/indexes: (batch, ...) int arrays of identical shape.
+    ``backend``: host coder stream format — "rans" or "range".
     """
     tables.validate()
     symbols = np.asarray(symbols)
@@ -254,6 +256,7 @@ def compress_symbols(symbols: np.ndarray, indexes: np.ndarray, tables: CdfTables
         tables.quantized_cdf,
         tables.cdf_length,
         tables.offset,
+        backend=backend,
     )
 
 
@@ -297,7 +300,8 @@ def decompress_symbols_interleaved(
     return out.reshape(indexes.shape)
 
 
-def decompress_symbols(strings, indexes: np.ndarray, tables: CdfTables) -> np.ndarray:
+def decompress_symbols(strings, indexes: np.ndarray, tables: CdfTables,
+                       backend: str = "rans") -> np.ndarray:
     """Decode byte strings back to symbols shaped like ``indexes``."""
     tables.validate()
     if not isinstance(strings, (tuple, list)):
@@ -316,5 +320,6 @@ def decompress_symbols(strings, indexes: np.ndarray, tables: CdfTables) -> np.nd
         tables.quantized_cdf,
         tables.cdf_length,
         tables.offset,
+        backend=backend,
     )
     return out.reshape(indexes.shape)

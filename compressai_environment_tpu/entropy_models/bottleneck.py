@@ -223,7 +223,7 @@ def compress(x, medians: np.ndarray, tables: CdfTables, fmt: str = "rans"):
         xm.shape[1:],
     )
     indexes = np.broadcast_to(indexes, xm.shape)
-    return compress_symbols(symbols, indexes, tables)
+    return compress_symbols(symbols, indexes, tables, backend=fmt)
 
 
 def _single_device(x) -> bool:
@@ -308,6 +308,6 @@ def decompress(strings, spatial_shape, medians: np.ndarray, tables: CdfTables,
         cm_shape[1:],
     )
     indexes = np.broadcast_to(indexes, cm_shape)
-    symbols = decompress_symbols(strings, indexes, tables)
+    symbols = decompress_symbols(strings, indexes, tables, backend=fmt)
     symbols = np.moveaxis(symbols.reshape(cm_shape), 1, -1)
     return symbols.astype(np.float32) + np.asarray(medians, np.float32).reshape(-1)

@@ -178,7 +178,7 @@ def compress(inputs, indexes, tables: CdfTables, means=None, fmt: str = "rans"):
     symbols = np.round(values).astype(np.int32)
     symbols = np.moveaxis(symbols, -1, 1)
     idx = np.moveaxis(np.asarray(indexes), -1, 1)
-    return compress_symbols(symbols, idx, tables)
+    return compress_symbols(symbols, idx, tables, backend=fmt)
 
 
 def compress_async(inputs, indexes, tables: CdfTables, means=None,
@@ -212,7 +212,7 @@ def decompress(strings, indexes, tables: CdfTables, means=None,
             return symbols.astype(jnp.float32) + jnp.asarray(means, jnp.float32)
         return symbols.astype(jnp.float32)
     idx = np.moveaxis(np.asarray(indexes), -1, 1)
-    symbols = decompress_symbols(strings, idx, tables)
+    symbols = decompress_symbols(strings, idx, tables, backend=fmt)
     symbols = np.moveaxis(symbols, 1, -1)
     if means is not None:
         return symbols.astype(np.float32) + np.asarray(means, np.float32)

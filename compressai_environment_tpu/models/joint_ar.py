@@ -207,6 +207,7 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
                 np.asarray(symbols).reshape(B, -1),
                 np.asarray(indexes).reshape(B, -1),
                 tables.quantized_cdf, tables.cdf_length, tables.offset,
+                backend=self.stream_format,
             )
         return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
 
@@ -243,7 +244,8 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
                 indexes[h, w] = idx
 
         return coder.encode_with_indexes(
-            symbols, indexes, tables.quantized_cdf, tables.cdf_length, tables.offset
+            symbols, indexes, tables.quantized_cdf, tables.cdf_length,
+            tables.offset, backend=self.stream_format,
         )
 
     def decompress(self, strings, shape):
@@ -292,7 +294,7 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         tables = self.tables["y"]
         scale_table = self.scale_table
 
-        dec = coder.StreamDecoder(y_string)
+        dec = coder.StreamDecoder(y_string, backend=self.stream_format)
         y_hat = np.zeros((height + 2 * pad, width + 2 * pad, M), np.float32)
 
         for h in range(height):

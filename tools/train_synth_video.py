@@ -79,6 +79,9 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="checkpoints/ssf2020-synth-q3.msgpack")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="also bake+save the checkpoint every N steps "
+                        "(long runs survive interruption)")
     args = p.parse_args(argv)
 
     import jax
@@ -90,7 +93,11 @@ def main(argv=None):
 
     from compressai_environment_tpu.models.video import ScaleSpaceFlow
     from compressai_environment_tpu.models.video.ssf import ScaleSpaceFlowNet
-    from compressai_environment_tpu.training import init_train_state
+    from compressai_environment_tpu.training import (
+        PlateauScheduler,
+        init_train_state,
+        set_learning_rate,
+    )
     from compressai_environment_tpu.training.losses import (
         video_rate_distortion_loss,
     )
@@ -161,6 +168,18 @@ def main(argv=None):
         )
         return video_rate_distortion_loss(out, eval_frames, args.lmbda)
 
+    def bake_and_save(params, step_no):
+        model.params = jax.device_get(params)
+        model.update(force=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        save_checkpoint(
+            model, args.out, architecture="ssf2020",
+            extra={"lmbda": args.lmbda, "steps": step_no, "seed": args.seed,
+                   "train": "synthetic-video-v1"},
+        )
+        print(f"  [saved {args.out} @ step {step_no}]", flush=True)
+
+    scheduler = PlateauScheduler(args.lr, patience=8)
     rng = np.random.default_rng(args.seed + 3)
     key = jax.random.key(args.seed + 4)
     t0 = time.time()
@@ -170,13 +189,20 @@ def main(argv=None):
         state, losses = step_fn(state, idx, sub)
         if (i + 1) % args.eval_every == 0 or i == 0:
             ev = {k: float(v) for k, v in eval_fn(state.params).items()}
+            lr = scheduler.step(ev["loss"])
+            state = state._replace(
+                main_opt_state=set_learning_rate(state.main_opt_state, lr)
+            )
             rate = (i + 1) / (time.time() - t0)
+            psnr = 10 * np.log10(1.0 / max(ev["mse_loss"], 1e-12))
             print(
                 f"step {i+1:5d} | eval loss {ev['loss']:.4f} "
                 f"bpp {ev['bpp_loss']:.3f} mse {ev['mse_loss']:.5f} "
-                f"| {rate:.2f} it/s",
+                f"({psnr:.2f} dB) | lr {lr:g} | {rate:.2f} it/s",
                 flush=True,
             )
+        if args.save_every and (i + 1) % args.save_every == 0 and i + 1 < args.steps:
+            bake_and_save(state.params, i + 1)
 
     model.params = jax.device_get(state.params)
     model.update(force=True)
