@@ -22,14 +22,16 @@ Encoder state update needs a uint32/uint16 division; TPUs have no integer
 divide, so it is computed as a 4-leg base-256 long division in exact-f32
 range (every intermediate < 2^24), with a one-step integer correction.
 
-Blob layout v2 (all little-endian; flags bit 0 set marks v2):
-    u32 n_symbols | u16 lanes | u16 flags | u32 n_raw
-    u8 count_bits | u32 count_base       (bit-packed per-lane word counts:)
+Blob layout v3 (little-endian; leading flags byte has bits V2|V3 set):
+    u8 flags | varint n_symbols | varint lanes | varint n_raw
+    u8 count_bits | varint count_base    (bit-packed per-lane word counts:)
     packed counts[lanes x count_bits]    (count = base + delta, LSB-first;
                                           includes the 2 state words)
     u16 stream words, lane-major         (per lane: state_low, state_high,
                                           then renorm words in decode order)
     u32 raw escape values[n_raw]         (in symbol order)
+The varint header (~8-10 B vs v2's fixed 17 B) matters on small tensors:
+a GOP z-latent blob was ~21 B of framing for ~190 symbols.
 
 The default lane count adapts to the tensor size (``pick_lanes``): each
 lane carries ~4.5 bytes of fixed cost (2 flush words + its packed count),
@@ -1259,8 +1261,32 @@ def _prepare_lane_params(symbols, indexes_flat, cdfs, cdfs_sizes, offsets, lanes
     return starts.reshape(lanes, T).T, freqs.reshape(lanes, T).T, raw, T
 
 
-_FLAG_V2 = 1  # blob layout v2: bit-packed per-lane counts
+_FLAG_V2 = 1  # bit-packed per-lane counts (always set)
 _FLAG_STEPMAJOR = 2  # step-major planar grid (row-sequential cores)
+_FLAG_V3 = 4  # compact varint header (round 5): flags byte leads the blob
+
+
+def _varint(x: int) -> bytes:
+    """LEB128 unsigned varint."""
+    out = bytearray()
+    x = int(x)
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        out.append(b | (0x80 if x else 0))
+        if not x:
+            return bytes(out)
+
+
+def _read_varint(blob, off: int):
+    val, shift = 0, 0
+    while True:
+        b = blob[off]
+        off += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, off
+        shift += 7
 
 
 def pick_lanes(n: int) -> int:
@@ -1270,33 +1296,45 @@ def pick_lanes(n: int) -> int:
     overhead), so the rate-optimal lane count is as low as the scan can
     afford. Measured on TPU (tools/lane_scale_exp.py; see module docstring)
     the scan's per-step cost scales with vector width, making ~1024
-    symbols/lane BOTH the fastest and near-rate-optimal point: the widest
-    power of two keeping >= ~1024 positions per lane, capped at
-    ``DEFAULT_LANES``."""
+    symbols/lane BOTH the fastest and near-rate-optimal point for large
+    tensors: the widest power of two keeping >= ~1024 positions per lane,
+    capped at ``DEFAULT_LANES``.
+
+    Small tensors (< 128 Ki symbols — GOP latents, hyper z-latents) are
+    dispatch-dominated, not width-dominated, so they target ~2048
+    symbols/lane instead: halving the lanes halves the fixed per-lane rate
+    cost, which is what pushed the video tpu-format overhead to +12% in
+    round 4."""
     if n >= 1024 * DEFAULT_LANES:
         return DEFAULT_LANES
-    lanes = max(1, n // 1024)
+    per_lane = 2048 if n < (1 << 17) else 1024
+    lanes = max(1, n // per_lane)
     return 1 << (lanes.bit_length() - 1)
 
 
 def _pack_header_counts(n, lanes, n_raw, counts, flags: int = 0) -> bytes:
-    """v2 header: per-lane word counts stored as base + w-bit deltas
-    (LSB-first bit packing). Counts are low-spread (word totals per lane
-    concentrate around total/lanes), so w is typically 5-7 bits — ~4x
-    smaller than the v1 u16 fields, the largest remaining fixed per-lane
-    rate cost after the flush words."""
+    """v3 compact header (round 5): a leading flags byte, then LEB128
+    varints for n / lanes / n_raw / count base — typically 8-10 bytes vs
+    v2's fixed 17, which dominated the tpu-format rate overhead on small
+    tensors (a GOP z-latent blob was ~21 bytes of framing for ~190
+    symbols). Per-lane word counts stay bit-packed as base + w-bit deltas
+    (LSB-first): counts are low-spread, so w is typically 5-7 bits.
+
+    Layout: u8 flags(V2|V3|...) | varint n | varint lanes | varint n_raw |
+            u8 w | varint base | packed counts[lanes x w bits]
+    """
     counts = np.asarray(counts, np.int64)
-    header = np.zeros(3, dtype="<u4")
-    header[0] = n
-    header[1] = lanes | ((_FLAG_V2 | flags) << 16)
-    header[2] = n_raw
     if counts.size == 0:
-        return header.tobytes() + b"\x00" + np.uint32(0).tobytes()
-    base = int(counts.min())
-    delta = counts - base
-    w = max(int(delta.max()).bit_length(), 0)
-    parts = [header.tobytes(), np.uint8(w).tobytes(),
-             np.uint32(base).tobytes()]
+        base, w, delta = 0, 0, counts
+    else:
+        base = int(counts.min())
+        delta = counts - base
+        w = max(int(delta.max()).bit_length(), 0)
+    parts = [
+        bytes([(_FLAG_V2 | _FLAG_V3 | flags) & 0xFF]),
+        _varint(n), _varint(lanes), _varint(n_raw),
+        bytes([w]), _varint(base),
+    ]
     if w:
         bits = (delta[:, None] >> np.arange(w)) & 1
         parts.append(np.packbits(
@@ -1306,14 +1344,15 @@ def _pack_header_counts(n, lanes, n_raw, counts, flags: int = 0) -> bytes:
 
 def _unpack_header_counts(blob: bytes):
     """Returns (n, lanes, n_raw, counts, offset_past_counts, flags)."""
-    header = np.frombuffer(blob[:12], dtype="<u4")
-    n, lanes, n_raw = int(header[0]), int(header[1] & 0xFFFF), int(header[2])
-    flags = int(header[1] >> 16)
-    if not flags & _FLAG_V2:
-        raise ValueError("unsupported tpu-format blob version (expected v2)")
-    w = blob[12]
-    base = int(np.frombuffer(blob[13:17], dtype="<u4")[0])
-    off = 17
+    flags = blob[0]
+    if not flags & _FLAG_V3 or not flags & _FLAG_V2:
+        raise ValueError("unsupported tpu-format blob version (expected v3)")
+    n, off = _read_varint(blob, 1)
+    lanes, off = _read_varint(blob, off)
+    n_raw, off = _read_varint(blob, off)
+    w = blob[off]
+    off += 1
+    base, off = _read_varint(blob, off)
     if w:
         nbytes = (lanes * w + 7) // 8
         bits = np.unpackbits(
@@ -1327,12 +1366,42 @@ def _unpack_header_counts(blob: bytes):
     return n, lanes, n_raw, counts, off, flags
 
 
+def _pack_raw(raw) -> bytes:
+    """Bit-packed escape side channel (v3): ``u8 w | raw[n_raw x w bits]``
+    (LSB-first). The v2 format spent a full u32 per escape; residuals are
+    typically a few bits past the CDF support, so this is ~3 bytes saved
+    per escape — the dominant tpu-format overhead on escape-heavy content
+    (weakly-trained motion/residual branches)."""
+    raw = np.asarray(raw, np.uint32)
+    if raw.size == 0:
+        return b""
+    w = max(1, int(raw.max()).bit_length())
+    bits = (raw[:, None] >> np.arange(w, dtype=np.uint32)) & 1
+    return bytes([w]) + np.packbits(
+        bits.astype(np.uint8).reshape(-1), bitorder="little"
+    ).tobytes()
+
+
+def _unpack_raw(blob, off: int, n_raw: int):
+    if n_raw == 0:
+        return np.zeros(0, np.uint32), off
+    w = blob[off]
+    off += 1
+    nbytes = (n_raw * w + 7) // 8
+    bits = np.unpackbits(
+        np.frombuffer(blob[off : off + nbytes], dtype=np.uint8),
+        count=n_raw * w, bitorder="little",
+    ).reshape(n_raw, w)
+    vals = (bits.astype(np.uint64) << np.arange(w, dtype=np.uint64)).sum(axis=1)
+    return vals.astype(np.uint32), off + nbytes
+
+
 def _pack_blob(n, lanes, raw, counts, per_lane_words) -> bytes:
     return b"".join([
         _pack_header_counts(n, lanes, raw.size, counts),
         np.concatenate(per_lane_words).astype("<u2").tobytes()
         if per_lane_words else b"",
-        raw.astype("<u4").tobytes(),
+        _pack_raw(raw),
     ])
 
 
@@ -1458,7 +1527,7 @@ def _unpack_blob(blob: bytes, n_expected: int):
     total_words = int(counts.sum())
     stream = np.frombuffer(blob[off : off + 2 * total_words], dtype="<u2")
     off += 2 * total_words
-    raw = np.frombuffer(blob[off : off + 4 * n_raw], dtype="<u4")
+    raw, off = _unpack_raw(blob, off, n_raw)
     return lanes, counts, stream, raw, flags
 
 
@@ -1526,7 +1595,7 @@ def encode_interleaved(
     blob = b"".join([
         _pack_header_counts(n, lanes, raw.size, counts),
         stream.astype("<u2").tobytes(),
-        raw.astype("<u4").tobytes(),
+        _pack_raw(raw),
     ])
     return blob
 
@@ -1548,7 +1617,7 @@ def decode_interleaved(
     total_words = int(counts.sum())
     stream = np.frombuffer(blob[off : off + 2 * total_words], dtype="<u2")
     off += 2 * total_words
-    raw = np.frombuffer(blob[off : off + 4 * n_raw], dtype="<u4")
+    raw, off = _unpack_raw(blob, off, n_raw)
 
     # unpack per-lane streams into an (W, L) padded matrix + init states
     T = _lane_layout(n, lanes)
@@ -1728,7 +1797,7 @@ def _pack_device_blobs(B, n, lanes, counts_np, flat, raw_np, raw_counts_np,
                 counts_np[b * lanes : (b + 1) * lanes], flags,
             ),
             flat[lo:hi].astype("<u2").tobytes(),
-            raw_np[b, : raw_counts_np[b]].astype("<u4").tobytes(),
+            _pack_raw(raw_np[b, : raw_counts_np[b]]),
         ]))
     return blobs
 
@@ -1908,7 +1977,7 @@ def decode_batch_device(blobs, indexes_dev, tables, lanes: int = None,
 
 
 def blob_flags(blob: bytes) -> int:
-    return int(np.frombuffer(blob[4:8], "<u4")[0]) >> 16
+    return blob[0]
 
 
 def encode_rowseq_async(symbols_planar_dev, n_channels: int, hw: int,

@@ -40,7 +40,10 @@ def _table(rng, ncdfs=12, max_support=24):
 def test_schedule_and_lanes():
     assert vrans.rowseq_lanes(192 * 1536, 1536) == 256
     assert vrans.rowseq_lanes(192 * 1536, 1535) is None  # odd hw
-    assert vrans.rowseq_lanes(128 * 96, 96) == 8
+    assert vrans.rowseq_lanes(128 * 192, 192) == 8
+    # small (< 128 Ki) tensors target ~2048 sym/lane for rate (round 5);
+    # below 8 lanes the step-major grid degenerates to the lane-blocked path
+    assert vrans.rowseq_lanes(128 * 96, 96) is None
     assert vrans.rowseq_lanes(512, 16) is None  # degenerate
     rows = vrans.rowseq_schedule(4, 64, 16)
     assert rows.shape == (16,)
@@ -127,7 +130,7 @@ def test_eb_level_equivalence(rng):
     from compressai_environment_tpu.entropy_models import bottleneck as eb_ops
 
     t = _table(rng, ncdfs=8)
-    B, H, W, C = 2, 32, 32, 8
+    B, H, W, C = 2, 64, 64, 8  # big enough that rowseq stays eligible
     med = rng.normal(0, 0.3, size=C).astype(np.float32)
     x = (rng.integers(-9, 9, size=(B, H, W, C)).astype(np.float32)
          + med.reshape(1, 1, 1, C))
