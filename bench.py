@@ -143,6 +143,21 @@ def _phase_breakdown(model, x):
         except Exception:  # noqa: BLE001 — cost analysis is best-effort
             return 0.0
 
+    def pipelined(f, *args, n=8):
+        """Per-dispatch chip time: n back-to-back dispatches, ONE forced
+        host fetch at the end (in-order device execution). Sync-per-call
+        timing includes a full tunnel RPC round trip (~25 ms), which
+        round 4 misread as transform inefficiency."""
+        y = f(*args)
+        np.asarray(jnp.ravel(y)[:1])
+        best_t = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ys = [f(*args) for _ in range(n)]
+            np.asarray(jnp.ravel(ys[-1])[:1])
+            best_t = min(best_t, (time.perf_counter() - t0) / n)
+        return best_t * 1e3
+
     dt, x_dev = best(lambda: jax.block_until_ready(jnp.asarray(x)))
     phases["h2d_content_upload"] = round(dt, 1)
 
@@ -153,6 +168,8 @@ def _phase_breakdown(model, x):
     )
     dt, y_dev = best(lambda: jax.block_until_ready(enc({"params": model.params}, x_dev)))
     phases["g_a"] = round(dt, 1)
+    ga_chip_ms = pipelined(enc, {"params": model.params}, x_dev)
+    phases["g_a_chip"] = round(ga_chip_ms, 2)
     ga_flops = flops_of(enc, {"params": model.params}, x_dev)
 
     def enc_core():
@@ -179,19 +196,24 @@ def _phase_breakdown(model, x):
         lambda: jax.block_until_ready(dec({"params": model.params}, y_back_dev))
     )
     phases["g_s"] = round(dt, 1)
+    gs_chip_ms = pipelined(dec, {"params": model.params}, y_back_dev)
+    phases["g_s_chip"] = round(gs_chip_ms, 2)
     gs_flops = flops_of(dec, {"params": model.params}, y_back_dev)
     phases["stream_bytes"] = total_bytes
 
-    # achieved TFLOP/s and MFU for the transform phases (v5e bf16 peak
-    # ~197 TFLOP/s; v5p ~459). XLA cost_analysis counts MACs as 2 flops.
+    # achieved TFLOP/s and MFU for the transform phases from their CHIP
+    # time (pipelined dispatches; the sync-timed g_a/g_s rows above carry
+    # one tunnel RPC each). v5e bf16 peak ~197 TFLOP/s; v5p ~459. XLA
+    # cost_analysis counts MACs as 2 flops.
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
     mfu = {}
-    for name, fl, ms in (("g_a", ga_flops, phases["g_a"]),
-                         ("g_s", gs_flops, phases["g_s"])):
+    for name, fl, ms in (("g_a", ga_flops, ga_chip_ms),
+                         ("g_s", gs_flops, gs_chip_ms)):
         if fl and ms:
             tfs = fl / (ms / 1e3) / 1e12
             mfu[name] = {
                 "gflops": round(fl / 1e9, 1),
+                "chip_ms": round(ms, 2),
                 "achieved_tflops": round(tfs, 2),
                 "mfu_pct": round(100 * tfs / peak_tflops, 1),
             }
@@ -231,6 +253,30 @@ def _phase_breakdown(model, x):
     phases["chip_bound_MBps_rtt_adjusted"] = round(
         x.nbytes / 1e6 / (adj_ms / 1e3), 1
     )
+
+    # batch-96 roundtrip: decode now chunks its synthesis (lax.map over
+    # sub-batches in ONE dispatch), so the batch that OOMed 16 GB HBM in
+    # round 4 fits; reports per-image amortization at 4x the headline batch
+    if _remaining() > 180:
+        try:
+            x96 = np.concatenate([x, x, x, x])
+            c96 = model.compress_async(x96).result()
+            t0 = time.perf_counter()
+            c96 = model.compress_async(x96).result()
+            enc96 = time.perf_counter() - t0
+            d96 = model.decompress(c96["strings"], c96["shape"])["x_hat"]
+            _sync(d96)
+            t0 = time.perf_counter()
+            d96 = model.decompress(c96["strings"], c96["shape"])["x_hat"]
+            _sync(d96)
+            dec96 = time.perf_counter() - t0
+            phases["batch96"] = {
+                "encode_ms_per_img": round(enc96 * 1e3 / 96, 2),
+                "decode_ms_per_img": round(dec96 * 1e3 / 96, 2),
+                "decode_fits_hbm": True,
+            }
+        except Exception as e:  # noqa: BLE001
+            phases["batch96"] = {"error": f"{type(e).__name__}: {e}"}
     return phases
 
 
@@ -282,26 +328,63 @@ def _zoo_hyperprior(x, h, w):
     }
 
 
-def _zoo_mbt2018(x, h, w):
+def _load_or_init(model, ck_name, h, w, key=1):
+    """Restore a committed trained checkpoint if present, else random-init
+    (reported as such)."""
     import jax
 
+    ck = os.path.join(REPO, "checkpoints", ck_name)
+    if os.path.exists(ck):
+        from compressai_environment_tpu.utils.checkpoint import restore_into
+
+        restore_into(model, ck)
+        return model, os.path.basename(ck)
+    model = model.init(key=jax.random.key(key), input_shape=(1, h, w, 3))
+    model.update(force=True)
+    return model, "random-init"
+
+
+def _zoo_mbt2018_mean(x, h, w):
+    from compressai_environment_tpu.models import MeanScaleHyperprior
+
+    m, ckname = _load_or_init(
+        MeanScaleHyperprior(128, 192), "mbt2018-mean-synth-q5.msgpack", h, w
+    )
+    m.stream_format = "tpu"
+    B = 8
+    xm = x[:B]
+    enc_t, dec_t, c = _timed_roundtrip(
+        lambda: m.compress(xm),
+        lambda c: m.decompress(c["strings"], c["shape"])["x_hat"],
+    )
+    bpp = sum(len(s) for ss in c["strings"] for s in ss) * 8 / (B * h * w)
+    return {
+        "batch": B, "checkpoint": ckname, "bpp": round(bpp, 4),
+        "encode_s_per_img": round(enc_t / B, 4),
+        "decode_s_per_img": round(dec_t / B, 4),
+        "ref_enc_dec_s": [0.71, 0.93], "ref_hw": "cpu (hyperprior-class)",
+    }
+
+
+def _zoo_mbt2018(x, h, w):
     from compressai_environment_tpu.models import (
         JointAutoregressiveHierarchicalPriors,
     )
 
-    ar = JointAutoregressiveHierarchicalPriors(192, 192).init(
-        key=jax.random.key(1), input_shape=(1, h, w, 3)
+    ar, ckname = _load_or_init(
+        JointAutoregressiveHierarchicalPriors(192, 192),
+        "mbt2018-synth-q5.msgpack", h, w,
     )
-    ar.update(force=True)
     ar.stream_format = "tpu"
     B = 8
     xa = x[:B]
-    enc_t, dec_t, _ = _timed_roundtrip(
+    enc_t, dec_t, c = _timed_roundtrip(
         lambda: ar.compress(xa),
         lambda c: ar.decompress(c["strings"], c["shape"])["x_hat"],
     )
+    bpp = sum(len(s) for ss in c["strings"] for s in ss) * 8 / (B * h * w)
     return {
-        "batch": B, "checkpoint": "random-init",
+        "batch": B, "checkpoint": ckname, "bpp": round(bpp, 4),
         "encode_s_per_img": round(enc_t / B, 4),
         "decode_s_per_img": round(dec_t / B, 4),
         "ref_enc_dec_s": [2.7, 5.9], "ref_hw": "cuda",
@@ -309,21 +392,21 @@ def _zoo_mbt2018(x, h, w):
 
 
 def _zoo_cheng2020(x, h, w):
-    import jax
-
     from compressai_environment_tpu.models import Cheng2020Anchor
 
-    ch = Cheng2020Anchor(128).init(key=jax.random.key(3), input_shape=(1, h, w, 3))
-    ch.update(force=True)
+    ch, ckname = _load_or_init(
+        Cheng2020Anchor(128), "cheng2020-anchor-synth-q5.msgpack", h, w, key=3
+    )
     ch.stream_format = "tpu"
     B = 4
     xc = x[:B]
-    enc_t, dec_t, _ = _timed_roundtrip(
+    enc_t, dec_t, c = _timed_roundtrip(
         lambda: ch.compress(xc),
         lambda c: ch.decompress(c["strings"], c["shape"])["x_hat"],
     )
+    bpp = sum(len(s) for ss in c["strings"] for s in ss) * 8 / (B * h * w)
     return {
-        "batch": B, "checkpoint": "random-init",
+        "batch": B, "checkpoint": ckname, "bpp": round(bpp, 4),
         "encode_s_per_img": round(enc_t / B, 4),
         "decode_s_per_img": round(dec_t / B, 4),
         "ref_enc_dec_s": [2.65, 5.79], "ref_hw": "cuda (attn variant)",
@@ -377,14 +460,18 @@ def _zoo_ssf(x, h, w):
 
 def _bench_zoo(x, h, w, result):
     """Per-architecture enc/dec wall time per image, vs BASELINE.md.
-    Each model is its own deadline-gated, exception-isolated section."""
+    Each model is its own deadline-gated, exception-isolated section.
+    Ordered most-valuable-first (round-4 VERDICT weak #7): the trained
+    ssf2020 fused-GOP row before the AR rows, so a deadline sacrifices
+    the cheapest information last."""
     zoo = {}
     result["detail"]["zoo"] = zoo
     for name, fn, need_s in (
+        ("ssf2020", lambda: _zoo_ssf(x, h, w), 180),
         ("bmshj2018-hyperprior", lambda: _zoo_hyperprior(x, h, w), 150),
+        ("mbt2018-mean", lambda: _zoo_mbt2018_mean(x, h, w), 120),
         ("mbt2018", lambda: _zoo_mbt2018(x, h, w), 150),
         ("cheng2020-anchor", lambda: _zoo_cheng2020(x, h, w), 120),
-        ("ssf2020", lambda: _zoo_ssf(x, h, w), 150),
     ):
         if _remaining() < need_s:
             zoo[name] = {"skipped": f"deadline ({_remaining():.0f}s left)"}

@@ -1738,6 +1738,7 @@ class EncodeDeviceHandle:
         B, n, lanes = self._B, self._n, self._lanes
         tables = self._tables
         counts_np = np.asarray(self._counts).astype(np.int64)
+        fallback_blobs, fallback_idx = None, None
         if bool(self._overflow):
             retry = getattr(self, "_retry", None)
             if retry is not None:
@@ -1747,18 +1748,37 @@ class EncodeDeviceHandle:
                  self._raw_dense, self._raw_counts), self._w_cap = retry()
                 counts_np = np.asarray(self._counts).astype(np.int64)
             else:
+                # Host re-encode ONLY the images whose lanes overflowed
+                # w_cap — a fused GOP encode folds many frames into one
+                # handle, and a whole-batch fallback would silently
+                # re-encode the entire GOP on host for one pathological
+                # frame (round-4 advisor finding). Per-image overflow is
+                # recomputed from the counts; bytes are identical either
+                # way (encode_interleaved_batch is the same format).
                 # coding_cdf == quantized_cdf unless folding is active; the
                 # host fallback must code with the same tables as the
-                # device cores
-                indexes = (
-                    self._indexes() if callable(self._indexes)
-                    else self._indexes
-                )
-                return encode_interleaved_batch(
-                    np.asarray(self._symbols), np.asarray(indexes),
-                    tables.coding_cdf, tables.cdf_length, tables.offset,
-                    lanes,
-                )
+                # device cores.
+                ovf_img = (
+                    counts_np.reshape(B, lanes) > self._w_cap
+                ).any(axis=1)
+                fallback_idx = np.where(ovf_img)[0]
+                if fallback_idx.size:
+                    indexes = (
+                        self._indexes() if callable(self._indexes)
+                        else self._indexes
+                    )
+                    symbols_np = np.asarray(self._symbols)
+                    indexes_np = np.asarray(indexes)
+                    fallback_blobs = encode_interleaved_batch(
+                        symbols_np[fallback_idx], indexes_np[fallback_idx],
+                        tables.coding_cdf, tables.cdf_length, tables.offset,
+                        lanes,
+                    )
+                    if fallback_idx.size == B:
+                        return fallback_blobs
+                    # clamp so packing stays aligned; the clamped images'
+                    # blobs are replaced with their host re-encodes below
+                    counts_np = np.minimum(counts_np, self._w_cap)
         raw_counts_np = np.asarray(self._raw_counts).astype(np.int64)
         max_raw = int(raw_counts_np.max()) if B else 0
         if max_raw:
@@ -1778,10 +1798,14 @@ class EncodeDeviceHandle:
         packed_np = np.asarray(_slice_packed(self._packed, cap_w))
         mask = np.arange(cap_w)[:, None] < counts_np[None, :]
         flat = packed_np.T[mask.T]  # per-lane words, lane-major, ascending
-        return _pack_device_blobs(
+        blobs = _pack_device_blobs(
             B, n, lanes, counts_np, flat, raw_np, raw_counts_np,
             getattr(self, "_flags", 0),
         )
+        if fallback_blobs is not None:
+            for j, b in enumerate(fallback_idx):
+                blobs[b] = fallback_blobs[j]
+        return blobs
 
 
 def _pack_device_blobs(B, n, lanes, counts_np, flat, raw_np, raw_counts_np,

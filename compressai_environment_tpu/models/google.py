@@ -41,6 +41,26 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+def _chunked_synthesis(net, p, y_hat, cdt, decode_method, max_chunk=32):
+    """Synthesis transform with bounded peak memory: above ``max_chunk``
+    images the g_s stack is applied as a ``lax.map`` over equal sub-batches
+    INSIDE the same jit (one dispatch, serialized chunks). A batch-96
+    single-shot decode did not fit 16 GB HBM (the f32 GDN norm at the
+    largest scale alone is ~4.8 GB); chunking divides synthesis peak
+    memory by the chunk count while the (small) entropy core stays
+    full-batch. Encode needs no such treatment — its per-layer peaks
+    shrink with depth."""
+    B = y_hat.shape[0]
+    if B <= max_chunk:
+        return net.apply(p, y_hat.astype(cdt), method=decode_method)
+    cs = max(c for c in range(1, max_chunk + 1) if B % c == 0)
+    yc = y_hat.reshape(B // cs, cs, *y_hat.shape[1:])
+    xc = jax.lax.map(
+        lambda v: net.apply(p, v.astype(cdt), method=decode_method), yc
+    )
+    return xc.reshape(B, *xc.shape[2:])
+
+
 class FactorizedPriorNet(nn.Module):
     N: int
     M: int
@@ -284,8 +304,8 @@ class FactorizedPrior(CompressionModel):
                     )
                     yp = sym.astype(jnp.float32) + jnp.asarray(med_rep)
                     y_hat = yp.reshape(B, M, hy, wy).transpose(0, 2, 3, 1)
-                    return net.apply(
-                        p, y_hat.astype(cdt), method=FactorizedPriorNet.decode
+                    return _chunked_synthesis(
+                        net, p, y_hat, cdt, FactorizedPriorNet.decode
                     )
 
                 key = (
@@ -313,8 +333,8 @@ class FactorizedPrior(CompressionModel):
                     sym.reshape(B, hy, wy, M).astype(jnp.float32)
                     + jnp.asarray(med)
                 )
-                return net.apply(
-                    p, y_hat.astype(cdt), method=FactorizedPriorNet.decode
+                return _chunked_synthesis(
+                    net, p, y_hat, cdt, FactorizedPriorNet.decode
                 )
 
             key = (

@@ -473,7 +473,19 @@ class ScaleSpaceFlow(CompressionModel):
 
         fmt = self.stream_format
         if fmt == "tpu":
-            z_handle = eb_ops.compress_async(z, medians, z_tab)
+            # explicit lane-blocked lanes for z: keeps the split path
+            # byte-identical to the fused GOP codec (which always codes z
+            # with the one-hot lane-blocked core) at EVERY resolution —
+            # without the override, a rowseq-eligible z (very large
+            # frames) would silently diverge from the fused encoder's
+            # bytes (round-4 advisor finding). z is a tiny share of GOP
+            # coding time, so forgoing its rowseq speedup costs nothing.
+            from ...entropy import vrans
+
+            n_z = int(np.prod(z.shape[1:]))
+            z_handle = eb_ops.compress_async(
+                z, medians, z_tab, lanes=vrans.pick_lanes(n_z)
+            )
             z_string = None
         else:
             z_string = eb_ops.compress(np.asarray(z), medians, z_tab, fmt=fmt)

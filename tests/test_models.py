@@ -138,6 +138,25 @@ class TestCodecRoundTrip:
         ref = np.clip(np.asarray(m.forward(x, training=False)["x_hat"]), 0, 1)
         np.testing.assert_allclose(np.asarray(d["x_hat"]), ref, atol=1e-5)
 
+    def test_chunked_synthesis_decode_large_batch(self):
+        """Batches above the fused-decode chunk threshold (32) run the
+        synthesis as a lax.map over sub-batches inside one jit; the result
+        must equal the small-batch path image-for-image (round-5 VERDICT
+        item 5: batch-96 decode OOMed 16 GB HBM single-shot)."""
+        rng = np.random.default_rng(4)
+        x = rng.random((40, 32, 32, 3), dtype=np.float32)
+        m = _make(FactorizedPrior, 16, 24)
+        m.update(force=True)
+        m.stream_format = "tpu"
+        c = m.compress(x)
+        d_big = m.decompress(c["strings"], c["shape"])  # 40 > 32: chunked
+        c_small = m.compress(x[:8])
+        d_small = m.decompress(c_small["strings"], c_small["shape"])
+        np.testing.assert_allclose(
+            np.asarray(d_big["x_hat"])[:8], np.asarray(d_small["x_hat"]),
+            atol=1e-6,
+        )
+
 
 class TestAutoregressiveRoundTrip:
     @pytest.mark.parametrize(

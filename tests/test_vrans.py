@@ -282,3 +282,44 @@ class TestLowMemoryMode:
         lo = lowmem.device_bytes()["total"]
         assert lo == hi  # folding already made the normal mode compact
         assert lo < 8 * (1 << 16)  # far below one LUT row
+
+
+class TestPerImageOverflowFallback:
+    def test_only_overflowed_image_host_reencoded(self, rng):
+        """A lane-count overflow in ONE image of a batched handle must not
+        change the other images' blobs (round-4 advisor: a fused GOP handle
+        folds many frames — whole-batch host fallback re-encoded the entire
+        GOP for one pathological frame). Bytes stay identical either way;
+        this pins the per-image blast radius."""
+        import jax.numpy as jnp
+
+        from compressai_environment_tpu.entropy import vrans
+        from compressai_environment_tpu.entropy_models.base import CdfTables
+
+        # one CDF row with a freq-1 symbol at index 1: coding it costs
+        # ~16 bits/symbol, far past w_cap's ~10 bits/symbol budget
+        cdf = np.array([[0, (1 << 16) - 2, (1 << 16) - 1, 1 << 16]], np.int32)
+        tables = CdfTables(cdf, np.array([4], np.int32), np.array([0], np.int32))
+        assert tables.device_compact is not None
+        n, lanes = 512, 4
+        idx = np.zeros((2, n), np.int32)
+        syms = np.zeros((2, n), np.int32)
+        syms[0] = 1  # image 0: all freq-1 symbols -> overflow
+        # image 1: all high-freq symbols -> tiny stream, no overflow
+
+        h = vrans.EncodeDeviceHandle(
+            jnp.asarray(syms), jnp.asarray(idx), tables, lanes
+        )
+        assert bool(h._overflow)
+        blobs = h.result()
+        # all symbols round-trip
+        out = vrans.decode_interleaved_batch(
+            blobs, idx, tables.coding_cdf, tables.cdf_length, tables.offset
+        )
+        np.testing.assert_array_equal(out, syms)
+        # the clean image's blob equals a fresh single-image device encode
+        h1 = vrans.EncodeDeviceHandle(
+            jnp.asarray(syms[1:]), jnp.asarray(idx[1:]), tables, lanes
+        )
+        assert not bool(h1._overflow)
+        assert blobs[1] == h1.result()[0]

@@ -52,7 +52,9 @@ def synth_batch(seed: int, n: int, h: int, w: int) -> np.ndarray:
 def make_model(arch: str):
     """q5-config constructors (zoo cfgs, docs/source/zoo.rst:64-69)."""
     from compressai_environment_tpu.models import (
+        Cheng2020Anchor,
         FactorizedPrior,
+        JointAutoregressiveHierarchicalPriors,
         MeanScaleHyperprior,
         ScaleHyperprior,
     )
@@ -61,6 +63,8 @@ def make_model(arch: str):
         "bmshj2018-factorized": lambda: FactorizedPrior(128, 192),
         "bmshj2018-hyperprior": lambda: ScaleHyperprior(128, 192),
         "mbt2018-mean": lambda: MeanScaleHyperprior(128, 192),
+        "mbt2018": lambda: JointAutoregressiveHierarchicalPriors(192, 192),
+        "cheng2020-anchor": lambda: Cheng2020Anchor(128),
     }[arch]()
 
 
@@ -68,7 +72,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--arch", default="bmshj2018-factorized",
                    choices=["bmshj2018-factorized", "bmshj2018-hyperprior",
-                            "mbt2018-mean"])
+                            "mbt2018-mean", "mbt2018", "cheng2020-anchor"])
     p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--patch", type=int, default=256)
@@ -83,6 +87,9 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
+    p.add_argument("--save-every", type=int, default=0,
+                   help="also bake+save the checkpoint every N steps "
+                        "(long runs survive interruption)")
     args = p.parse_args(argv)
     if args.out is None:
         args.out = f"checkpoints/{args.arch}-synth-q5.msgpack"
@@ -135,6 +142,17 @@ def main(argv=None):
                               rate_distortion_loss)
     )
 
+    def bake_and_save(params, step_no):
+        model.params = jax.device_get(params)
+        model.update(force=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        save_checkpoint(
+            model, args.out, architecture=args.arch,
+            extra={"lmbda": args.lmbda, "steps": step_no, "seed": args.seed,
+                   "train": "synthetic-v1"},
+        )
+        print(f"  [saved {args.out} @ step {step_no}]", flush=True)
+
     rng = np.random.default_rng(args.seed + 3)
     key = jax.random.key(args.seed + 4)
     best = float("inf")
@@ -143,6 +161,8 @@ def main(argv=None):
         idx = jnp.asarray(rng.integers(0, args.n_train, args.batch_size))
         key, sub = jax.random.split(key)
         state, losses = step_fn(state, idx, sub)
+        if args.save_every and (i + 1) % args.save_every == 0 and i + 1 < args.steps:
+            bake_and_save(state.params, i + 1)
         if (i + 1) % args.eval_every == 0 or i == 0:
             ev = {k: float(v) for k, v in eval_fn(state.params).items()}
             lr = scheduler.step(ev["loss"])
