@@ -754,9 +754,7 @@ class ScaleHyperprior(CompressionModel):
                 y_hat = y_sym.reshape(B, hy, wy, M).astype(jnp.float32)
                 if uses_means:
                     y_hat = y_hat + means.astype(jnp.float32)
-                return net.apply(
-                    p, y_hat.astype(cdt), method=net_cls.decode
-                )
+                return _chunked_synthesis(net, p, y_hat, cdt, net_cls.decode)
 
             key = (
                 f"dec_fused_hp_{B}_{hz}x{wz}_{y_prep['lanes']}_"
