@@ -428,6 +428,10 @@ def _zoo_ssf(x, h, w):
         ssf.update(force=True)
         ckname = "random-init"
     ssf.stream_format = "tpu"
+    # bf16 transforms like the flagship (the supported --half path); the
+    # scale-space warp stays fp32-pinned (models/video/ssf.py). fp32 convs
+    # on TPU run the multi-pass algorithm at a fraction of MXU peak.
+    ssf.half()
     # temporally-correlated GOP from the checkpoint's content family —
     # independent random images would make the motion branch escape-heavy
     # and the operating point meaningless (round-3 weak #5)

@@ -58,10 +58,18 @@ def run(n_devices: int, images_per_device: int = 4, h: int = 512, w: int = 768,
     )
 
     mesh = make_mesh(n_devices, tp=1)
-    model = FactorizedPrior(128, 192).init(
-        key=jax.random.key(0), input_shape=(1, h, w, 3)
-    )
-    model.update(force=True)
+    model = FactorizedPrior(128, 192)
+    import os
+
+    ck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "checkpoints", "bmshj2018-factorized-synth-q5.msgpack")
+    if os.path.exists(ck):
+        from compressai_environment_tpu.utils.checkpoint import restore_into
+
+        restore_into(model, ck)
+    else:
+        model = model.init(key=jax.random.key(0), input_shape=(1, h, w, 3))
+        model.update(force=True)
     model.stream_format = "tpu"
 
     n_images = n_devices * images_per_device

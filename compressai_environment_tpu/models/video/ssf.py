@@ -195,9 +195,18 @@ class ScaleSpaceFlowNet(nn.Module):
         return x_rec, {"motion": motion_likelihoods, "residual": res_likelihoods}
 
     def forward_prediction(self, x_ref, motion_info):
-        flow, scale_field = motion_info[..., :2], motion_info[..., 2:]
-        volume = gaussian_volume(x_ref, self.sigma0, self.num_levels)
-        return warp_volume(volume, flow, scale_field)
+        # The trilinear scale-space warp is pinned to fp32 even in half
+        # mode, mirroring the reference's AMP cast exclusion
+        # (``models/video/google.py:357``): bf16 sampling coordinates lose
+        # sub-pixel precision and visibly degrade the prediction. No-op
+        # for fp32 callers (bit-identical), so "rans" parity is unchanged.
+        dt = x_ref.dtype
+        mi = motion_info.astype(jnp.float32)
+        flow, scale_field = mi[..., :2], mi[..., 2:]
+        volume = gaussian_volume(
+            x_ref.astype(jnp.float32), self.sigma0, self.num_levels
+        )
+        return warp_volume(volume, flow, scale_field).astype(dt)
 
     def aux_loss_list(self):
         return [

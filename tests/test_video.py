@@ -134,3 +134,50 @@ class TestSSF:
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         finally:
             ssf.stream_format = old_fmt
+
+
+class TestHalfMode:
+    def test_half_gop_roundtrip_consistent(self, frames):
+        """ssf2020 in bf16 half mode: encoder/decoder stay self-consistent
+        (same device math both sides) and the fp32-pinned scale-space warp
+        (reference AMP cast exclusion, models/video/google.py:357) keeps
+        the prediction usable. Streams differ from fp32 (bf16 transforms
+        shift latents) but must round-trip exactly."""
+        m = ScaleSpaceFlow().init(key=jax.random.key(0), input_shape=SHAPE)
+        m.update(force=True)
+        m.half()
+        m.stream_format = "tpu"
+        s, sh = m.compress(frames)
+        dec = m.decompress(s, sh)
+        assert len(dec) == 3
+        # re-encoding the SAME frames must reproduce identical streams
+        # (deterministic device codec in half mode)
+        s2, _ = m.compress(frames)
+
+        def flat(o, acc):
+            if isinstance(o, dict):
+                [flat(o[k], acc) for k in sorted(o)]
+            elif isinstance(o, (list, tuple)):
+                [flat(v, acc) for v in o]
+            else:
+                acc.append(bytes(o))
+        a, b = [], []
+        flat(s, a), flat(s2, b)
+        assert a == b
+        for r in dec:
+            arr = np.asarray(r, np.float32)
+            assert np.isfinite(arr).all()
+
+    def test_forward_prediction_fp32_pin_is_noop_for_fp32(self, ssf, frames):
+        """The warp's fp32 pinning must be bit-exact for fp32 callers —
+        "rans" reference parity depends on it."""
+        x_ref = jnp.asarray(frames[0])
+        rng = np.random.default_rng(5)
+        mi = jnp.asarray(rng.standard_normal(
+            (1, 128, 128, 3)).astype(np.float32) * 0.1)
+        out = ssf.net.apply(
+            {"params": ssf.params}, x_ref, mi,
+            method=type(ssf.net).predict,
+        )
+        assert np.asarray(out).dtype == np.float32
+        assert np.isfinite(np.asarray(out)).all()
