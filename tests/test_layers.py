@@ -196,3 +196,54 @@ class TestOps:
         g = jax.grad(lambda x: jnp.sum(qrelu(x, 8, 100.0)))(x)
         assert g[1] == 1.0  # in-range: identity
         assert 0.0 <= g[0] < 1.0 and 0.0 <= g[2] < 1.0  # surrogate outside
+
+
+class TestFoldedDeconv:
+    def test_fold_matches_direct_deconv_f32(self, rng):
+        """fold_deconv_kernel_5s2 + pixel_shuffle must equal the direct
+        lhs-dilated deconv (validated in f32; the module uses the folded
+        form only for bf16 tiny-output deconvs)."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        from compressai_environment_tpu.layers.conv import (
+            fold_deconv_kernel_5s2,
+            pixel_shuffle,
+        )
+
+        kt = jnp.asarray(rng.standard_normal((5, 5, 16, 3)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((2, 12, 10, 16)), jnp.float32)
+        dn = ("NHWC", "HWIO", "NHWC")
+        direct = lax.conv_general_dilated(
+            x, kt, (1, 1), [(2, 3), (2, 3)], lhs_dilation=(2, 2),
+            dimension_numbers=dn, precision=lax.Precision.HIGHEST,
+        )
+        kf = fold_deconv_kernel_5s2(kt)
+        folded = pixel_shuffle(
+            lax.conv_general_dilated(
+                x, kf, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+                precision=lax.Precision.HIGHEST,
+            ),
+            2,
+        )
+        assert folded.shape == direct.shape == (2, 24, 20, 3)
+        np.testing.assert_allclose(
+            np.asarray(folded), np.asarray(direct), atol=1e-4
+        )
+
+    def test_deconv_module_bf16_uses_folded_path(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from compressai_environment_tpu.layers import Deconv
+
+        d = Deconv(3, 5, 2)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)
+        p = d.init(jax.random.key(0), x)
+        y32 = d.apply(p, x)
+        p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+        y16 = d.apply(p16, x.astype(jnp.bfloat16))
+        assert y16.shape == y32.shape
+        np.testing.assert_allclose(
+            np.asarray(y16, np.float32), np.asarray(y32), atol=0.15, rtol=0.1
+        )
