@@ -1302,12 +1302,12 @@ def pick_lanes(n: int) -> int:
 
     Small tensors (< 128 Ki symbols — GOP latents, hyper z-latents) are
     dispatch-dominated, not width-dominated, so they target ~2048
-    symbols/lane instead: halving the lanes halves the fixed per-lane rate
-    cost, which is what pushed the video tpu-format overhead to +12% in
-    round 4."""
+    symbols/lane (~4096 below 32 Ki) instead: halving the lanes halves
+    the fixed per-lane rate cost, which is what pushed the video
+    tpu-format overhead to +12% in round 4."""
     if n >= 1024 * DEFAULT_LANES:
         return DEFAULT_LANES
-    per_lane = 2048 if n < (1 << 17) else 1024
+    per_lane = 4096 if n < (1 << 15) else (2048 if n < (1 << 17) else 1024)
     lanes = max(1, n // per_lane)
     return 1 << (lanes.bit_length() - 1)
 

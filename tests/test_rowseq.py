@@ -40,9 +40,10 @@ def _table(rng, ncdfs=12, max_support=24):
 def test_schedule_and_lanes():
     assert vrans.rowseq_lanes(192 * 1536, 1536) == 256
     assert vrans.rowseq_lanes(192 * 1536, 1535) is None  # odd hw
-    assert vrans.rowseq_lanes(128 * 192, 192) == 8
-    # small (< 128 Ki) tensors target ~2048 sym/lane for rate (round 5);
-    # below 8 lanes the step-major grid degenerates to the lane-blocked path
+    assert vrans.rowseq_lanes(128 * 384, 384) == 16
+    # small tensors target ~2048 sym/lane (< 128 Ki) and ~4096 (< 32 Ki)
+    # for rate (round 5); below 8 lanes the step-major grid degenerates to
+    # the lane-blocked path
     assert vrans.rowseq_lanes(128 * 96, 96) is None
     assert vrans.rowseq_lanes(512, 16) is None  # degenerate
     rows = vrans.rowseq_schedule(4, 64, 16)
@@ -71,11 +72,11 @@ def _planar_roundtrip(tables, rng, C, hw, B=3, sym_lo=-20, sym_hi=20,
 
 
 def test_roundtrip_basic(rng):
-    _planar_roundtrip(_table(rng), rng, C=12, hw=2048)
+    _planar_roundtrip(_table(rng), rng, C=12, hw=4096)
 
 
 def test_roundtrip_escapes(rng):
-    _planar_roundtrip(_table(rng), rng, C=12, hw=2048, escapes=True)
+    _planar_roundtrip(_table(rng), rng, C=12, hw=4096, escapes=True)
 
 
 def test_roundtrip_folded_wide_rows(rng):
@@ -116,7 +117,7 @@ def test_overflow_retry(rng):
     cdfs[:, :129] = np.concatenate([[0], np.cumsum(freqs)])
     cdfs[:, 129] = 1 << 16
     t = CdfTables(cdfs, sizes, np.zeros(ncdfs, np.int32))
-    C, hw = ncdfs, 4096
+    C, hw = ncdfs, 16384
     sym = rng.integers(0, 127, size=(2, C * hw)).astype(np.int32)
     handle = vrans.encode_rowseq_async(jnp.asarray(sym), C, hw, t)
     blobs = handle.result()
