@@ -417,8 +417,15 @@ def _zoo_ssf(x, h, w):
     from compressai_environment_tpu.models.video import ScaleSpaceFlow
 
     ssf = ScaleSpaceFlow()
-    ck = os.path.join(REPO, "checkpoints", "ssf2020-synth-q3.msgpack")
-    if os.path.exists(ck):
+    # highest-quality committed checkpoint first (q5 is the >=30 dB
+    # operating point; q3 kept as fallback for partial checkouts)
+    ck = next(
+        (p for q in ("q5", "q7", "q3")
+         if os.path.exists(p := os.path.join(
+             REPO, "checkpoints", f"ssf2020-synth-{q}.msgpack"))),
+        None,
+    )
+    if ck is not None:
         from compressai_environment_tpu.utils.checkpoint import restore_into
 
         restore_into(ssf, ck)

@@ -170,13 +170,16 @@ def main(argv=None):
             step=st.step + 1,
         ), losses
 
+    # eval frames passed as jit arguments, not closure constants: the TPU
+    # backend constant-folds closed-over float operands through the conv
+    # pipeline with degraded numerics (see tools/train_synth.py)
     @jax.jit
-    def eval_fn(params):
+    def eval_fn(params, frames):
         out = net.apply(
-            {"params": params}, eval_frames, False,
+            {"params": params}, list(frames), False,
             rngs={"noise": jax.random.key(9)},
         )
-        return video_rate_distortion_loss(out, eval_frames, args.lmbda)
+        return video_rate_distortion_loss(out, list(frames), args.lmbda)
 
     def bake_and_save(params, step_no):
         model.params = jax.device_get(params)
@@ -198,7 +201,9 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         state, losses = step_fn(state, idx, sub)
         if (i + 1) % args.eval_every == 0 or i == 0:
-            ev = {k: float(v) for k, v in eval_fn(state.params).items()}
+            ev = {k: float(v)
+                  for k, v in eval_fn(state.params,
+                                      tuple(eval_frames)).items()}
             lr = scheduler.step(ev["loss"])
             state = state._replace(
                 main_opt_state=set_learning_rate(state.main_opt_state, lr)
