@@ -193,22 +193,35 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
             wavefront_encode_symbols_batch,
         )
 
-        w8 = self._ar_weights_device()
         tables = self.tables["y"]
-        symbols, indexes, _ = wavefront_encode_symbols_batch(
-            y, params_hs, w8, self.scale_table
-        )
         if self.stream_format == "tpu":
+            # device wavefront encode; the decoder is the device wavefront
+            # too, so both sides' scales come from the same XLA subgraph
+            # (plus the clamp-snap below, shared by both programs)
+            w8 = self._ar_weights_device()
+            symbols, indexes, _ = wavefront_encode_symbols_batch(
+                y, params_hs, w8, self.scale_table
+            )
             y_strings = encode_ar_lanes_device_batch(symbols, indexes, tables)
             z_strings = z_handle.result()
         else:
-            B = y.shape[0]
-            y_strings = coder.encode_batch(
-                np.asarray(symbols).reshape(B, -1),
-                np.asarray(indexes).reshape(B, -1),
-                tables.quantized_cdf, tables.cdf_length, tables.offset,
-                backend=self.stream_format,
-            )
+            # host serial raster — the SAME numpy code as _decompress_ar, so
+            # the decoder's recomputed scales/means are bit-identical by
+            # construction. The wavefront derivation (XLA GEMMs) can differ
+            # from the host decoder by 1 ULP, and the reference's
+            # scale-table clamp parks the entire clamped mass exactly ON
+            # the idx 0/1 searchsorted boundary: a trained checkpoint with
+            # many scales < 0.11 then desyncs the stream (measured: serial
+            # 0.109999985 -> idx 0 vs wavefront 0.11000001 -> idx 1).
+            ph = np.asarray(params_hs, np.float32)
+            y_np = np.asarray(y, np.float32)
+            pad = 2
+            y_strings = [
+                self._compress_ar(
+                    y_np[b], ph[b], y_np.shape[1], y_np.shape[2], pad
+                )
+                for b in range(y_np.shape[0])
+            ]
         return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
 
     def _compress_ar(self, y, params_hs, height, width, pad) -> bytes:

@@ -80,6 +80,24 @@ def _ep_apply(ep, v):
     return v
 
 
+def _scale_indexes(scale_table, scales_hat):
+    """CDF-row indexes from Gaussian scales (reference ``build_indexes``
+    semantics: clamp at scale_table[0]=0.11, then lower-bound search).
+
+    The clamp parks every scale < 0.11 exactly ON the idx-0/1 searchsorted
+    boundary, so a 1-ULP disagreement between the encode and decode
+    programs' GEMMs flips the CDF row and desyncs the rANS stream
+    (observed with a trained mbt2018: 0.109999985 vs 0.11000001). Scales
+    within a small band of the clamp snap to it in BOTH programs, removing
+    the flip edge where essentially all boundary mass sits. Interior table
+    boundaries carry no such mass concentration.
+    """
+    snapped = jnp.where(jnp.abs(scales_hat - 0.11) < 1e-4, 0.11, scales_hat)
+    return jnp.searchsorted(
+        scale_table[:-1], jnp.maximum(snapped, 0.11), side="left"
+    )
+
+
 def _wavefront_encode_impl(y, params_hs, weights, scale_table, H: int, W: int, M: int):
     """y: (H, W, M); params_hs: (H, W, 2M). Returns (symbols, indexes,
     y_hat) each (H, W, M) — identical to the serial raster AR encode."""
@@ -112,9 +130,7 @@ def _wavefront_encode_impl(y, params_hs, weights, scale_table, H: int, W: int, M
         gp = _ep_apply(ep, jnp.concatenate([p, ctx], axis=-1))
         scales_hat, means_hat = gp[:, :M], gp[:, M:]
 
-        idx = jnp.searchsorted(
-            scale_table[:-1], jnp.maximum(scales_hat, 0.11), side="left"
-        ).astype(jnp.int32)
+        idx = _scale_indexes(scale_table, scales_hat).astype(jnp.int32)
         y_cur = y[hs_c, ws_c]
         y_q = jnp.round(y_cur - means_hat).astype(jnp.int32)
         recon = y_q.astype(jnp.float32) + means_hat
@@ -584,9 +600,7 @@ def _wavefront_decode_impl(flat, counts, params_hs, weights, scale_table, lut, c
         p = params_hs[hs_c, ws_c]
         gp = _ep_apply(ep, jnp.concatenate([p, ctx], axis=-1))
         scales_hat, means_hat = gp[:, :M], gp[:, M:]
-        idx_a = jnp.searchsorted(
-            scale_table[:-1], jnp.maximum(scales_hat, 0.11), side="left"
-        ).astype(jnp.int32)
+        idx_a = _scale_indexes(scale_table, scales_hat).astype(jnp.int32)
 
         # active rows' per-channel CDF indexes -> (lanes,) vectors
         lane_rows = (
@@ -733,9 +747,7 @@ def _wavefront_decode_batched(flat, counts, params_hs, weights, scale_table,
         gp = _ep_apply(ep, jnp.concatenate([p, ctx], axis=-1))
         scales_hat = gp[:, :M].reshape(B, A, M)
         means_hat = gp[:, M:].reshape(B, A, M)
-        idx_a = jnp.searchsorted(
-            scale_table[:-1], jnp.maximum(scales_hat, 0.11), side="left"
-        ).astype(jnp.int32)
+        idx_a = _scale_indexes(scale_table, scales_hat).astype(jnp.int32)
 
         # active rows' per-channel CDF indexes -> (B, lanes_img) planes
         lane_rows = (
@@ -893,9 +905,8 @@ def _wavefront_decode_batched_packed(flat, counts, params_hs, weights,
         gp = _ep_apply(ep, jnp.concatenate([p, ctx], axis=-1))
         scales_hat = gp[:, :M].reshape(B, A, M)
         means_hat = gp[:, M:].reshape(B, A, M)
-        idx_w = jnp.searchsorted(
-            scale_table[:-1], jnp.maximum(scales_hat, 0.11), side="left"
-        ).astype(jnp.int32).reshape(B, AM)
+        idx_w = _scale_indexes(scale_table, scales_hat).astype(
+            jnp.int32).reshape(B, AM)
 
         lane_active = jnp.broadcast_to(
             jnp.repeat(active, M)[None, :], (B, AM)

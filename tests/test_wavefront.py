@@ -36,6 +36,12 @@ def _serial_reference(m, y, params_hs):
             p = params_hs[h, w][None, :]
             gp = w8.entropy_parameters(np.concatenate((p, ctx), axis=1))[0]
             scales, means = gp[:M], gp[M:]
+            # the device wavefront snaps scales near the 0.11 clamp onto it
+            # (wavefront._scale_indexes) so the encode and decode programs
+            # can't flip a CDF row on a 1-ULP GEMM difference; the serial
+            # comparator applies the same rule. (The rans-format host path
+            # keeps raw reference semantics — see models/joint_ar.py.)
+            scales = np.where(np.abs(scales - 0.11) < 1e-4, 0.11, scales)
             idx = np.searchsorted(
                 m.scale_table[:-1], np.maximum(scales, 0.11), side="left"
             )

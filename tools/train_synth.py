@@ -90,6 +90,11 @@ def main(argv=None):
     p.add_argument("--save-every", type=int, default=0,
                    help="also bake+save the checkpoint every N steps "
                         "(long runs survive interruption)")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start params from an existing checkpoint "
+                        "(fine-tune at a different lambda: the multi-"
+                        "quality sweep converges far faster than from "
+                        "scratch)")
     args = p.parse_args(argv)
     if args.out is None:
         args.out = f"checkpoints/{args.arch}-synth-q5.msgpack"
@@ -113,6 +118,11 @@ def main(argv=None):
     model = make_model(args.arch).init(
         key=jax.random.key(args.seed), input_shape=(1, args.patch, args.patch, 3)
     )
+    if args.init_from:
+        from compressai_environment_tpu.utils.checkpoint import restore_into
+
+        restore_into(model, args.init_from)
+        print(f"warm-started from {args.init_from}", flush=True)
     state, txs = init_train_state(
         model.params, learning_rate=args.lr,
         aux_learning_rate=args.aux_lr, max_grad_norm=1.0,
