@@ -186,10 +186,12 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
         # serial raster scan), batched over images — all images advance the
         # same anti-diagonal step together in one program. Stream format:
         #   "rans": single raster-order stream per image (reference layout)
-        #   "tpu":  one rANS lane per (row, channel) so decode can follow the
-        #           same wavefront on device. y/params stay device-resident.
+        #   "tpu":  one rANS lane per channel (wavefront pop order) so decode
+        #           follows the same wavefront on device with M lanes of
+        #           container overhead instead of H*M. y/params stay
+        #           device-resident.
         from ..parallel.wavefront import (
-            encode_ar_lanes_device_batch,
+            encode_ar_chan_device_batch,
             wavefront_encode_symbols_batch,
         )
 
@@ -202,7 +204,7 @@ class JointAutoregressiveHierarchicalPriors(ScaleHyperprior):
             symbols, indexes, _ = wavefront_encode_symbols_batch(
                 y, params_hs, w8, self.scale_table
             )
-            y_strings = encode_ar_lanes_device_batch(symbols, indexes, tables)
+            y_strings = encode_ar_chan_device_batch(symbols, indexes, tables)
             z_strings = z_handle.result()
         else:
             # host serial raster — the SAME numpy code as _decompress_ar, so

@@ -216,6 +216,7 @@ def wavefront_encode_symbols_batch(y, params_hs, weights: ARWeightsDevice,
 _LANE_L = np.uint32(1 << 16)
 _LANE_MASK = np.uint32(0xFFFF)
 _WF_POST_ESC = -32768  # escape sentinel in packed `post` (vrans._POST_ESC)
+_CHAN_FLAG = 0x80000000  # header `lanes` top bit: channel-lane container
 
 
 @partial(jax.jit, static_argnames=("T",))
@@ -517,21 +518,39 @@ def encode_ar_lanes(symbols, indexes, tables) -> bytes:
 
 def _unpack_ar_blob(blob: bytes, H: int, M: int):
     """Parse header/counts and return (flat words padded to a 64K bucket,
-    counts int32, max_w power-of-two); expansion happens on device."""
+    counts int32, max_w power-of-two, is_chan); expansion happens on device.
+
+    Two container layouts share the 8-byte header ``u32 n | u32 lanes``:
+    the legacy per-(row, channel) format (lanes == H*M, u32 counts) and the
+    channel-lane format (lanes == M with the top bit set as a version flag,
+    u16 counts — the per-lane overhead is the whole point of that format).
+    """
     header = np.frombuffer(blob[:8], dtype="<u4")
-    n, lanes = int(header[0]), int(header[1])
-    if lanes != H * M:
-        raise ValueError(f"blob lanes {lanes} != H*M {H * M}")
+    n, lanes_raw = int(header[0]), int(header[1])
+    is_chan = bool(lanes_raw & _CHAN_FLAG)
+    lanes = lanes_raw & ~_CHAN_FLAG
     off = 8
-    counts = np.frombuffer(blob[off : off + 4 * lanes], dtype="<u4").astype(np.int32)
-    off += 4 * lanes
+    if is_chan:
+        if lanes != M:
+            raise ValueError(f"chan blob lanes {lanes} != M {M}")
+        counts = np.frombuffer(
+            blob[off : off + 2 * lanes], dtype="<u2"
+        ).astype(np.int32)
+        off += 2 * lanes
+    else:
+        if lanes != H * M:
+            raise ValueError(f"blob lanes {lanes} != H*M {H * M}")
+        counts = np.frombuffer(
+            blob[off : off + 4 * lanes], dtype="<u4"
+        ).astype(np.int32)
+        off += 4 * lanes
     total = int(counts.sum())
     cap = -(-max(total, 1) // 65536) * 65536
     flat = np.zeros(cap, np.uint16)
     flat[:total] = np.frombuffer(blob[off : off + 2 * total], dtype="<u2")
     max_w = max(1, int(counts.max()) - 2)
     max_w = 1 << (max_w - 1).bit_length()
-    return flat, counts, max_w
+    return flat, counts, max_w, is_chan
 
 
 def _wavefront_decode_impl(flat, counts, params_hs, weights, scale_table, lut, cdf,
@@ -973,17 +992,32 @@ def _wavefront_decode_batched_packed(flat, counts, params_hs, weights,
 def wavefront_decode_batch(blobs, params_hs, weights: ARWeightsDevice, tables,
                            scale_table, H: int, W: int):
     """Decode B lane-parallel AR blobs to (B, H, W, M) in one device
-    program. ``params_hs``: (B, H, W, 2M)."""
+    program. ``params_hs``: (B, H, W, 2M). The container header selects
+    the lane geometry: channel-lane (current encoder output) or the
+    legacy per-(row, channel) layout."""
     M = weights.M
     unpacked = [_unpack_ar_blob(blob, H, M) for blob in blobs]
     cap = max(u[0].size for u in unpacked)
     max_w = max(u[2] for u in unpacked)
     B = len(blobs)
+    is_chan = unpacked[0][3]
+    assert all(u[3] == is_chan for u in unpacked), "mixed AR blob formats"
+    lanes_img = M if is_chan else H * M
     flat = np.zeros((B, cap), np.uint16)
-    counts = np.zeros((B, H * M), np.int32)
-    for b, (f, c, _) in enumerate(unpacked):
+    counts = np.zeros((B, lanes_img), np.int32)
+    for b, (f, c, _, _) in enumerate(unpacked):
         flat[b, : f.size] = f
         counts[b] = c
+    if is_chan:
+        dev = tables.device
+        lut = dev["lut"] if "lut" in dev else jnp.asarray(tables.decode_lut)
+        max_values = dev["sizes"] - 2
+        return _wavefront_decode_chan_batched(
+            jnp.asarray(flat), jnp.asarray(counts), jnp.asarray(params_hs),
+            weights.tree(), jnp.asarray(scale_table),
+            lut, dev["cdf"], dev["offsets"], max_values,
+            B, H, W, M, max_w,
+        )
     pt = tables.device_packed
     if pt is not None:
         # gather-lean path: fused sf/post lookups + contiguous-window lane
@@ -1012,7 +1046,11 @@ def wavefront_decode(blob: bytes, params_hs, weights: ARWeightsDevice, tables,
                      scale_table, H: int, W: int):
     """Decode a lane-parallel AR blob to y_hat (H, W, M) on device."""
     M = weights.M
-    flat, counts, max_w = _unpack_ar_blob(blob, H, M)
+    flat, counts, max_w, is_chan = _unpack_ar_blob(blob, H, M)
+    if is_chan:
+        return wavefront_decode_batch(
+            [blob], params_hs[None], weights, tables, scale_table, H, W
+        )[0]
     dev = tables.device  # cached device copies: avoids re-uploading the LUT
     lut = dev["lut"] if "lut" in dev else jnp.asarray(tables.decode_lut)
     max_values = dev["sizes"] - 2
@@ -1028,3 +1066,311 @@ def wavefront_decode(blob: bytes, params_hs, weights: ARWeightsDevice, tables,
         max_values,
         H, W, M, max_w,
     )
+
+
+# ---------------------------------------------------------------------------
+# Channel-lane AR stream format: one rANS lane per channel
+# ---------------------------------------------------------------------------
+#
+# The per-(row, channel) format pays ~8 bytes of container overhead per lane
+# (u32 count + 2 flush words): H*M lanes make that 3.0 bpp of pure overhead
+# on a 256px image (measured with a trained mbt2018 checkpoint: 3.24 bpp in
+# the tpu format vs 0.355 rans). One lane per CHANNEL cuts lanes H*M -> M.
+#
+# Why this decodes on the same wavefront: at step t the active rows are the
+# consecutive h in [h_lo, h_lo+A); each contributes one symbol per channel,
+# so a channel's lane pops A symbols per step — in deterministic (t, h)
+# order. The encoder writes each channel's H*W symbols permuted to that
+# schedule order; the decoder runs A sequential sub-pops per step (cheap
+# VPU state updates — the per-step GEMM still dominates).
+#
+# Container: u32 n | u32 (M | _CHAN_FLAG) | u16 counts[M] | u16 words.
+
+
+def _wf_chan_order(H: int, W: int) -> np.ndarray:
+    """Flat (h*W + w) indices of an (H, W) grid in wavefront pop order:
+    ascending (t = 3h + w, h)."""
+    hh, ww = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    return np.lexsort((hh.ravel(), (3 * hh + ww).ravel()))
+
+
+@partial(jax.jit, static_argnames=("B", "H", "W", "M", "w_cap"))
+def _ar_chan_encode_core_batched(symbols, indexes, cdf2, mo,
+                                 B: int, H: int, W: int, M: int, w_cap: int):
+    """Device channel-lane AR encode: (B, H, W, M) planes -> (flat uint16,
+    counts (B*M,), overflow). Lane b*M + c codes image b's channel c, all
+    H*W symbols in wavefront order."""
+    from ..entropy.vrans import _MASK16
+
+    lanes = B * M
+    T = H * W
+    m = mo[indexes]
+    offset = (m & _MASK16).astype(jnp.int32) - 32768
+    maxv = (m >> np.uint32(16)).astype(jnp.int32)
+    value = symbols - offset
+    neg = value < 0
+    over = value >= maxv
+    esc = neg | over
+    raw = jnp.where(neg, (-2 * value - 1), 2 * (value - maxv)).astype(jnp.uint32)
+    raw = jnp.where(esc, raw, 0)
+    coded = jnp.where(esc, maxv, value)
+
+    v = cdf2[indexes, coded]
+    starts = v & _MASK16
+    freqs = (v >> np.uint32(16)) + np.uint32(1)
+
+    perm = jnp.asarray(_wf_chan_order(H, W))  # int constant: safe to bake
+
+    def to_lanes(a):
+        # (B, H, W, M) -> (T, B*M), rows in wavefront pop order
+        return a.reshape(B, T, M)[:, perm].transpose(1, 0, 2).reshape(T, lanes)
+
+    words, valid, state = _lane_encode_scan(
+        to_lanes(starts), to_lanes(freqs), to_lanes(esc), to_lanes(raw), T
+    )
+
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
+    rows_idx = jnp.where(valid, pos + 2, w_cap)
+    lane_iota = jnp.broadcast_to(jnp.arange(lanes)[None, :], rows_idx.shape)
+    packed = jnp.zeros((w_cap + 1, lanes), jnp.uint32)
+    packed = packed.at[rows_idx, lane_iota].set(words, mode="drop")
+    packed = packed.at[0].set(state & _MASK16)
+    packed = packed.at[1].set(state >> np.uint32(16))
+    counts = valid.sum(axis=0).astype(jnp.int32) + 2
+    overflow = jnp.any(counts > w_cap)
+
+    lane_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    jj = jnp.arange(w_cap)[:, None]
+    dst = jnp.where(jj < counts[None, :], lane_off[None, :] + jj, w_cap * lanes)
+    flat = jnp.zeros((w_cap * lanes + 1,), jnp.uint16)
+    flat = flat.at[dst].set(
+        packed[:w_cap].astype(jnp.uint16), mode="drop"
+    )[: w_cap * lanes]
+    return flat, counts, overflow
+
+
+def _chan_blob(counts_img: np.ndarray, words_img: np.ndarray,
+               n: int, M: int) -> bytes:
+    header = np.array([n, M | _CHAN_FLAG], dtype="<u4")
+    return b"".join([
+        header.tobytes(),
+        counts_img.astype("<u2").tobytes(),
+        words_img.astype("<u2").tobytes(),
+    ])
+
+
+def encode_ar_chan_host(symbols, indexes, tables) -> bytes:
+    """Host channel-lane encode (overflow fallback / executable spec);
+    byte-identical to the device core (tested)."""
+    H, W, M = symbols.shape
+    T = H * W
+    cdfs = np.asarray(tables.quantized_cdf)
+    sizes = np.asarray(tables.cdf_length, np.int64)
+    offsets = np.asarray(tables.offset, np.int64)
+
+    sym = np.asarray(symbols, np.int64)
+    idx = np.asarray(indexes, np.int64)
+    max_value = sizes[idx] - 2
+    value = sym - offsets[idx]
+    neg = value < 0
+    over = value >= max_value
+    esc = neg | over
+    raw = np.where(neg, -2 * value - 1, 2 * (value - max_value)).astype(np.uint32)
+    raw = np.where(esc, raw, 0).astype(np.uint32)
+    coded = np.where(esc, max_value, value).astype(np.int32)
+
+    starts = cdfs[idx, coded].astype(np.uint32)
+    freqs = (cdfs[idx, coded + 1] - cdfs[idx, coded]).astype(np.uint32)
+
+    perm = _wf_chan_order(H, W)
+
+    def to_lanes(a):
+        return np.ascontiguousarray(a.reshape(T, M)[perm])
+
+    words, valid, state = _lane_encode_scan(
+        jnp.asarray(to_lanes(starts)), jnp.asarray(to_lanes(freqs)),
+        jnp.asarray(to_lanes(esc)), jnp.asarray(to_lanes(raw)), T,
+    )
+    words = np.asarray(words).astype(np.uint16)
+    valid = np.asarray(valid)
+    state = np.asarray(state, np.uint32)
+
+    counts = valid.sum(axis=0).astype(np.int64) + 2
+    bounds = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    total = int(counts.sum())
+    stream = np.empty(total, np.uint16)
+    stream[bounds] = (state & 0xFFFF).astype(np.uint16)
+    stream[bounds + 1] = (state >> 16).astype(np.uint16)
+    body_mask = np.ones(total, bool)
+    body_mask[bounds] = False
+    body_mask[bounds + 1] = False
+    stream[body_mask] = words.T[valid.T]
+    return _chan_blob(counts, stream, H * W * M, M)
+
+
+def encode_ar_chan_device_batch(symbols_dev, indexes_dev, tables) -> list:
+    """Batched device channel-lane encode -> per-image blobs."""
+    pt = tables.device_packed
+    B, H, W, M = symbols_dev.shape
+    if pt is None:
+        return [
+            encode_ar_chan_host(np.asarray(symbols_dev[b]),
+                                np.asarray(indexes_dev[b]), tables)
+            for b in range(B)
+        ]
+    T = H * W
+    w_cap = min(3 * T + 2, max(16, (T * 24) // 16 + 4))
+    flat_dev, counts, overflow = _ar_chan_encode_core_batched(
+        jnp.asarray(symbols_dev), jnp.asarray(indexes_dev),
+        pt["cdf2"], pt["mo"], B, H, W, M, w_cap,
+    )
+    counts_np = np.asarray(counts).astype(np.int64)
+    if bool(overflow) or counts_np.max() > 0xFFFF:
+        return [
+            encode_ar_chan_host(np.asarray(symbols_dev[b]),
+                                np.asarray(indexes_dev[b]), tables)
+            for b in range(B)
+        ]
+    total = int(counts_np.sum())
+    bucket = min(-(-total // 65536) * 65536, int(flat_dev.shape[0]))
+    stream = np.asarray(flat_dev[:bucket])[:total]
+
+    bounds = np.concatenate([[0], np.cumsum(counts_np)])
+    blobs = []
+    for b in range(B):
+        lo = bounds[b * M]
+        hi = bounds[(b + 1) * M]
+        blobs.append(_chan_blob(
+            counts_np[b * M : (b + 1) * M], stream[lo:hi], H * W * M, M
+        ))
+    return blobs
+
+
+@partial(jax.jit, static_argnames=("B", "H", "W", "M", "max_w"))
+def _wavefront_decode_chan_batched(flat, counts, params_hs, weights,
+                                   scale_table, lut, cdf, offsets, max_values,
+                                   B: int, H: int, W: int, M: int, max_w: int):
+    """Channel-lane AR decode: per wavefront step, the A active rows each
+    pop one symbol per channel — A sequential sub-pops over (B*M,) lane
+    state vectors, then one scatter. flat: (B, cap); counts: (B, M)."""
+    ctx_kernel = weights["ctx_kernel"]
+    ctx_bias = weights["ctx_bias"]
+    ep = weights["ep"]
+    lanes = B * M
+
+    cap = flat.shape[1]
+    bounds = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(counts, axis=1)[:, :-1]],
+        axis=1,
+    )  # (B, M)
+    flat32 = flat.astype(jnp.uint32)
+    b_iota = jnp.arange(B)[:, None]
+    x0 = (
+        flat32[b_iota, jnp.minimum(bounds, cap - 1)]
+        | (flat32[b_iota, jnp.minimum(bounds + 1, cap - 1)] << np.uint32(16))
+    ).reshape(lanes)
+    jj = jnp.arange(max_w)[None, :, None]
+    src = bounds[:, None, :] + 2 + jj  # (B, max_w, M)
+    words = jnp.where(
+        jj < (counts - 2)[:, None, :],
+        flat32[b_iota[:, :, None], jnp.minimum(src, cap - 1)],
+        jnp.uint32(0),
+    ).transpose(1, 0, 2).reshape(max_w, lanes)
+
+    A = min(H, (W + 2) // 3 + 1)
+    T = 3 * (H - 1) + W
+    lane_iota = jnp.arange(lanes)
+    y_hat0 = jnp.zeros((B, H + 2 * _PAD, W + 2 * _PAD, M), jnp.float32)
+
+    def renorm(x, cursor):
+        need = x < _LANE_L
+        w = words[jnp.minimum(cursor, max_w - 1), lane_iota]
+        x = jnp.where(need, (x << np.uint32(16)) | w, x)
+        return x, cursor + need.astype(jnp.int32)
+
+    def get_bits16(x, cursor):
+        val = (x & _LANE_MASK).astype(jnp.uint32)
+        x = x >> np.uint32(16)
+        x, cursor = renorm(x, cursor)
+        return val, x, cursor
+
+    def step(t, carry):
+        y_hat, x, cursor = carry
+        h_lo = jnp.maximum(0, (t - W + 3) // 3)
+        hs = h_lo + jnp.arange(A)
+        ws = t - 3 * hs
+        active = (hs < H) & (ws >= 0) & (ws < W)
+        hs_c = jnp.clip(hs, 0, H - 1)
+        ws_c = jnp.clip(ws, 0, W - 1)
+
+        crops = jax.vmap(
+            lambda img: jax.vmap(
+                lambda h, w: jax.lax.dynamic_slice(img, (h, w, 0), (_K, _K, M))
+            )(hs_c, ws_c)
+        )(y_hat)  # (B, A, K, K, M)
+        ctx = crops.reshape(B * A, -1) @ ctx_kernel + ctx_bias
+        p = params_hs[:, hs_c, ws_c].reshape(B * A, -1)
+        gp = _ep_apply(ep, jnp.concatenate([p, ctx], axis=-1))
+        scales_hat = gp[:, :M].reshape(B, A, M)
+        means_hat = gp[:, M:].reshape(B, A, M)
+        idx_a = _scale_indexes(scale_table, scales_hat).astype(jnp.int32)
+
+        def pop(a, pc):
+            x, cursor, sym_acc = pc
+            act = active[a]
+            idx_row = idx_a[:, a, :].reshape(lanes)
+            cum = (x & _LANE_MASK).astype(jnp.uint32)
+            s = lut[idx_row, cum.astype(jnp.int32)]
+            start = cdf[idx_row, s].astype(jnp.uint32)
+            freq = (cdf[idx_row, s + 1] - cdf[idx_row, s]).astype(jnp.uint32)
+            start = jnp.where(act, start, jnp.uint32(0))
+            freq = jnp.where(act, freq, _LANE_L)
+
+            x = freq * (x >> np.uint32(16)) + cum - start
+            x, cursor = renorm(x, cursor)
+
+            max_v = max_values[idx_row]
+            is_esc = act & (s == max_v)
+
+            def esc_branch(args):
+                x_in, cur_in = args
+                lo, x1, cur1 = get_bits16(x_in, cur_in)
+                hi, x2, cur2 = get_bits16(x1, cur1)
+                x_out = jnp.where(is_esc, x2, x_in)
+                cur_out = jnp.where(is_esc, cur2, cur_in)
+                return x_out, cur_out, (hi << np.uint32(16)) | lo
+
+            def no_esc(args):
+                x_in, cur_in = args
+                return x_in, cur_in, jnp.zeros((lanes,), jnp.uint32)
+
+            x, cursor, raw = jax.lax.cond(
+                jnp.any(is_esc), esc_branch, no_esc, (x, cursor)
+            )
+
+            value = s.astype(jnp.int32)
+            esc_val = (raw >> np.uint32(1)).astype(jnp.int32)
+            esc_neg = (raw & np.uint32(1)) == 1
+            value = jnp.where(
+                is_esc, jnp.where(esc_neg, -esc_val - 1, esc_val + max_v),
+                value,
+            )
+            symbol = value + offsets[idx_row]
+            sym_acc = sym_acc.at[:, a, :].set(symbol.reshape(B, M))
+            return x, cursor, sym_acc
+
+        x, cursor, sym_a = jax.lax.fori_loop(
+            0, A, pop, (x, cursor, jnp.zeros((B, A, M), jnp.int32))
+        )
+
+        recon_rows = sym_a.astype(jnp.float32) + means_hat  # (B, A, M)
+        hs_p = jnp.where(active, hs_c + _PAD, H + 2 * _PAD)
+        y_hat = y_hat.at[:, hs_p, ws_c + _PAD].set(recon_rows, mode="drop")
+        return y_hat, x, cursor
+
+    y_hat, x, cursor = jax.lax.fori_loop(
+        0, T, step, (y_hat0, x0, jnp.zeros((lanes,), jnp.int32))
+    )
+    return y_hat[:, _PAD : _PAD + H, _PAD : _PAD + W]

@@ -120,3 +120,64 @@ def test_batched_packed_decode_matches_unpacked(model, scale):
             blobs[b], params_hs[b], w8, tables, model.scale_table, H, W
         )
         np.testing.assert_allclose(y_packed[b], np.asarray(y_single), atol=1e-5)
+
+
+@pytest.mark.parametrize("H,W,scale", [(4, 4, 2.0), (6, 9, 2.0), (5, 5, 30.0)])
+def test_chan_lane_roundtrip(model, H, W, scale):
+    """Channel-lane format (one rANS lane per channel, wavefront pop
+    order): encode + decode must reproduce the encoder's y_hat exactly,
+    escapes included (scale=30 forces the escape path)."""
+    from compressai_environment_tpu.parallel.wavefront import (
+        encode_ar_chan_device_batch,
+        wavefront_decode_batch,
+        wavefront_encode_symbols_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    B, M = 2, model.M
+    y = (rng.standard_normal((B, H, W, M)) * scale).astype(np.float32)
+    params_hs = rng.standard_normal((B, H, W, 2 * M)).astype(np.float32)
+    w8 = ARWeightsDevice(model.params, M)
+    tables = model.tables["y"]
+
+    symbols, indexes, y_hat_enc = wavefront_encode_symbols_batch(
+        y, params_hs, w8, model.scale_table
+    )
+    blobs = encode_ar_chan_device_batch(symbols, indexes, tables)
+    # container overhead is per-channel, not per-(row, channel)
+    header = np.frombuffer(blobs[0][:8], dtype="<u4")
+    assert int(header[1]) == M | 0x80000000
+
+    y_hat_dec = wavefront_decode_batch(
+        blobs, params_hs, w8, tables, model.scale_table, H, W
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_hat_dec), np.asarray(y_hat_enc), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("scale", [2.0, 30.0])
+def test_chan_lane_host_device_byte_identical(model, scale):
+    """The host channel-lane encoder (overflow fallback) must emit exactly
+    the device core's bytes."""
+    from compressai_environment_tpu.parallel.wavefront import (
+        encode_ar_chan_device_batch,
+        encode_ar_chan_host,
+        wavefront_encode_symbols_batch,
+    )
+
+    rng = np.random.default_rng(19)
+    B, H, W, M = 2, 6, 9, model.M
+    y = (rng.standard_normal((B, H, W, M)) * scale).astype(np.float32)
+    params_hs = rng.standard_normal((B, H, W, 2 * M)).astype(np.float32)
+    w8 = ARWeightsDevice(model.params, M)
+    tables = model.tables["y"]
+    symbols, indexes, _ = wavefront_encode_symbols_batch(
+        y, params_hs, w8, model.scale_table
+    )
+    dev = encode_ar_chan_device_batch(symbols, indexes, tables)
+    for b in range(B):
+        host = encode_ar_chan_host(
+            np.asarray(symbols[b]), np.asarray(indexes[b]), tables
+        )
+        assert dev[b] == host
