@@ -221,6 +221,14 @@ def main(argv=None):
         "--dataset", default=None,
         help="dataset dir (default: generated under a temp cache)",
     )
+    p.add_argument(
+        "--archs", default=None,
+        help="comma-separated image archs to (re)generate "
+             "(default: all with checkpoints)",
+    )
+    p.add_argument("--skip-video", action="store_true")
+    p.add_argument("--skip-real", action="store_true")
+    p.add_argument("--skip-classical", action="store_true")
     args = p.parse_args(argv)
 
     out = Path(args.out)
@@ -231,8 +239,10 @@ def main(argv=None):
     make_dataset(ds)
     print(f"dataset: {ds} ({N_IMAGES} x 768x512)")
 
-    for arch in ("bmshj2018-factorized", "bmshj2018-hyperprior",
-                 "mbt2018-mean", "mbt2018", "cheng2020-anchor"):
+    all_archs = ("bmshj2018-factorized", "bmshj2018-hyperprior",
+                 "mbt2018-mean", "mbt2018", "cheng2020-anchor")
+    archs = (tuple(args.archs.split(",")) if args.archs else all_archs)
+    for arch in archs:
         ckpts = sorted((REPO / "checkpoints").glob(f"{arch}-synth-q*.msgpack"))
         if arch == "mbt2018":  # don't glob the -mean checkpoints
             ckpts = [c for c in ckpts if "mean" not in c.name]
@@ -249,6 +259,8 @@ def main(argv=None):
             print("  psnr:", [round(v, 2) for v in r["results"]["psnr"]])
 
     vckpts = sorted((REPO / "checkpoints").glob("ssf2020-synth-q*.msgpack"))
+    if args.skip_video:
+        vckpts = []
     if vckpts:
         vout = REPO / "results" / "synthetic-video"
         vout.mkdir(parents=True, exist_ok=True)
@@ -259,8 +271,11 @@ def main(argv=None):
             print(f"wrote {fname}: bpp {r['results']['bpp']}, "
                   f"psnr-rgb {r['results']['psnr-rgb']}")
 
-    eval_real_assets(REPO / "results" / "real-assets")
+    if not args.skip_real:
+        eval_real_assets(REPO / "results" / "real-assets")
 
+    if args.skip_classical:
+        return
     for codec, qualities in (("jpeg", [10, 25, 50, 75, 92]),
                              ("webp", [5, 25, 50, 75, 95])):
         r = bench_classical(ds, codec, qualities)
